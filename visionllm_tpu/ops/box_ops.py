@@ -1,0 +1,73 @@
+"""Box utilities (cxcywh/xyxy conversion, IoU, generalized IoU).
+
+Behavioral reference: visionllmv2/model/grounding_dino/
+modeling_ov_grounding_dino_mask_dn.py:3917-3980 and util/box_ops.py.
+All functions are pure, batched, and jit-safe.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def box_cxcywh_to_xyxy(b: jnp.ndarray) -> jnp.ndarray:
+    cx, cy, w, h = jnp.split(b, 4, axis=-1)
+    return jnp.concatenate(
+        [cx - 0.5 * w, cy - 0.5 * h, cx + 0.5 * w, cy + 0.5 * h], axis=-1)
+
+
+def box_xyxy_to_cxcywh(b: jnp.ndarray) -> jnp.ndarray:
+    x0, y0, x1, y1 = jnp.split(b, 4, axis=-1)
+    return jnp.concatenate(
+        [(x0 + x1) / 2, (y0 + y1) / 2, x1 - x0, y1 - y0], axis=-1)
+
+
+def box_area(b: jnp.ndarray) -> jnp.ndarray:
+    return (b[..., 2] - b[..., 0]) * (b[..., 3] - b[..., 1])
+
+
+def box_iou(boxes1: jnp.ndarray, boxes2: jnp.ndarray):
+    """Pairwise IoU. boxes1: [..., N, 4], boxes2: [..., M, 4] (xyxy).
+
+    Returns (iou [..., N, M], union [..., N, M]).
+    """
+    area1 = box_area(boxes1)
+    area2 = box_area(boxes2)
+    lt = jnp.maximum(boxes1[..., :, None, :2], boxes2[..., None, :, :2])
+    rb = jnp.minimum(boxes1[..., :, None, 2:], boxes2[..., None, :, 2:])
+    wh = jnp.clip(rb - lt, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = area1[..., :, None] + area2[..., None, :] - inter
+    iou = inter / jnp.maximum(union, 1e-8)
+    return iou, union
+
+
+def generalized_box_iou(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise GIoU for xyxy boxes; degenerate boxes yield garbage, as in
+    the reference (caller guarantees x1>=x0, y1>=y0)."""
+    iou, union = box_iou(boxes1, boxes2)
+    lt = jnp.minimum(boxes1[..., :, None, :2], boxes2[..., None, :, :2])
+    rb = jnp.maximum(boxes1[..., :, None, 2:], boxes2[..., None, :, 2:])
+    wh = jnp.clip(rb - lt, 0.0)
+    area = wh[..., 0] * wh[..., 1]
+    return iou - (area - union) / jnp.maximum(area, 1e-8)
+
+
+def elementwise_box_iou(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
+    """Element-wise IoU for same-shaped xyxy boxes [..., 4] -> [...]."""
+    area1 = box_area(boxes1)
+    area2 = box_area(boxes2)
+    lt = jnp.maximum(boxes1[..., :2], boxes2[..., :2])
+    rb = jnp.minimum(boxes1[..., 2:], boxes2[..., 2:])
+    wh = jnp.clip(rb - lt, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    return inter / jnp.maximum(area1 + area2 - inter, 1e-8)
+
+
+def inverse_sigmoid(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """logit with clamping, matching the reference's inverse_sigmoid
+    (used by iterative box refinement)."""
+    x = jnp.clip(x, 0.0, 1.0)
+    x1 = jnp.clip(x, eps, None)
+    x2 = jnp.clip(1.0 - x, eps, None)
+    return jnp.log(x1 / x2)
