@@ -1,0 +1,139 @@
+"""Unit tests for the super-link routing machinery (emb splice, image
+scatter, text-query extraction) on a tiny composite model."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from visionllm_tpu import constants as C
+from visionllm_tpu.config import tiny_test_config
+from visionllm_tpu.models.visionllm import (SpecialTokenIds, VisionLLM,
+                                            compact_masked_rows,
+                                            tool_context)
+
+CFG = tiny_test_config()
+TID = SpecialTokenIds.synthetic()
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = VisionLLM(CFG, dtype=jnp.float32)
+    img_len = CFG.vis_encoder.num_patches   # 16 for 56/14
+    # prompt: text, 16 <im_patch>, text, [DET] [EMB..EMB4], [POSE] [EMB..4],
+    # [GEN] [EMB]*8
+    ids = ([5, 6] + [TID.imp] * img_len + [7]
+           + [TID.det] + [TID.emb + i for i in range(4)]
+           + [TID.pose] + [TID.emb + i for i in range(4)]
+           + [TID.gen] + [TID.emb] * CFG.num_embs_gen
+           + [8])
+    input_ids = jnp.asarray([ids], dtype=jnp.int32)
+    size = CFG.vis_encoder.image_size
+    dummy_images = jnp.zeros((1, size, size, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), input_ids, dummy_images,
+                        TID)["params"]
+    return model, params, input_ids, img_len
+
+
+def test_tool_context(model_and_params):
+    _, _, input_ids, img_len = model_and_params
+    ctx, last_pos = tool_context(input_ids, TID)
+    ctx = np.asarray(ctx[0])
+    ids = np.asarray(input_ids[0])
+    det_pos = int(np.where(ids == TID.det)[0][0])
+    pose_pos = int(np.where(ids == TID.pose)[0][0])
+    gen_pos = int(np.where(ids == TID.gen)[0][0])
+    # emb positions after [DET] carry TOOL_DET, etc.
+    assert (ctx[det_pos + 1:det_pos + 5] == C.TOOL_DET).all()
+    assert (ctx[pose_pos + 1:pose_pos + 5] == C.TOOL_POSE).all()
+    assert (ctx[gen_pos + 1:gen_pos + 9] == C.TOOL_GEN).all()
+    # before any tool token: 0
+    assert (ctx[:det_pos] == 0).all()
+    lp = np.asarray(last_pos[0])
+    assert (lp[gen_pos + 1:gen_pos + 9] == gen_pos).all()
+
+
+def test_splice_emb_embeddings(model_and_params):
+    model, params, input_ids, _ = model_and_params
+    embeds = model.apply({"params": params}, input_ids,
+                         method=VisionLLM.embed_tokens)
+    spliced = model.apply({"params": params}, embeds, input_ids, TID,
+                          method=VisionLLM.splice_emb_embeddings)
+    ids = np.asarray(input_ids[0])
+    det_pos = int(np.where(ids == TID.det)[0][0])
+    pose_pos = int(np.where(ids == TID.pose)[0][0])
+    gen_pos = int(np.where(ids == TID.gen)[0][0])
+    e_det = params["emb_embeddings_det"]
+    e_pose = params["emb_embeddings_pose"]
+    e_gen = params["emb_embeddings_gen"]
+    out = np.asarray(spliced[0])
+    for i in range(4):
+        np.testing.assert_allclose(out[det_pos + 1 + i], e_det[i], rtol=1e-6)
+        np.testing.assert_allclose(out[pose_pos + 1 + i], e_pose[i], rtol=1e-6)
+    for i in range(CFG.num_embs_gen):
+        np.testing.assert_allclose(out[gen_pos + 1 + i], e_gen[i], rtol=1e-6)
+    # non-emb positions untouched
+    np.testing.assert_array_equal(out[0], np.asarray(embeds[0, 0]))
+    np.testing.assert_array_equal(out[det_pos], np.asarray(embeds[0, det_pos]))
+
+
+def test_image_scatter(model_and_params):
+    model, params, input_ids, img_len = model_and_params
+    B, L = input_ids.shape
+    Cdim = CFG.llm.hidden_size
+    embeds = jnp.zeros((B, L, Cdim))
+    feats = jnp.arange(img_len * Cdim, dtype=jnp.float32).reshape(
+        1, img_len, Cdim)
+    out = VisionLLM.scatter_image_features(embeds, input_ids, feats, TID.imp)
+    ids = np.asarray(input_ids[0])
+    imp_positions = np.where(ids == TID.imp)[0]
+    out = np.asarray(out[0])
+    for k, p in enumerate(imp_positions):
+        np.testing.assert_array_equal(out[p], np.asarray(feats[0, k]))
+    assert (out[0] == 0).all()  # non-patch position untouched
+
+
+def test_extract_text_query(model_and_params):
+    model, params, input_ids, _ = model_and_params
+    B, L = input_ids.shape
+    Cdim = CFG.llm.hidden_size
+    hidden = jnp.arange(B * L * Cdim, dtype=jnp.float32).reshape(B, L, Cdim)
+    tq, tq_mask = model.apply({"params": params}, hidden, input_ids, TID,
+                              method=VisionLLM.extract_text_query)
+    assert tq.shape == (B, CFG.max_num_patches, CFG.num_embs, Cdim)
+    ids = np.asarray(input_ids[0])
+    emb_sel = (ids >= TID.emb) & (ids < TID.emb + CFG.num_embs)
+    n_groups = emb_sel.sum() // CFG.num_embs
+    assert np.asarray(tq_mask[0]).sum() == n_groups
+    emb_positions = np.where(emb_sel)[0]
+    expect = np.asarray(hidden[0])[emb_positions].reshape(
+        n_groups, CFG.num_embs, Cdim)
+    np.testing.assert_array_equal(np.asarray(tq[0, :n_groups]), expect)
+
+
+def test_full_forward_shapes(model_and_params):
+    model, params, input_ids, _ = model_and_params
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.standard_normal(
+        (1, CFG.vis_encoder.image_size, CFG.vis_encoder.image_size, 3),
+        dtype=np.float32))
+    out = model.apply({"params": params}, input_ids, images, TID)
+    B, L = input_ids.shape
+    assert out["logits"].shape == (B, L, CFG.llm.vocab_size)
+    assert out["hidden"].shape == (B, L, CFG.llm.hidden_size)
+    assert np.isfinite(np.asarray(out["logits"])).all()
+
+
+def test_compact_masked_rows_batched():
+    x = jnp.arange(2 * 5 * 3, dtype=jnp.float32).reshape(2, 5, 3)
+    mask = jnp.asarray([[True, False, True, False, True],
+                        [False, False, False, True, False]])
+    rows, valid = compact_masked_rows(x, mask, 4)
+    np.testing.assert_array_equal(np.asarray(valid),
+                                  [[1, 1, 1, 0], [1, 0, 0, 0]])
+    np.testing.assert_array_equal(np.asarray(rows[0, 0]), np.asarray(x[0, 0]))
+    np.testing.assert_array_equal(np.asarray(rows[0, 1]), np.asarray(x[0, 2]))
+    np.testing.assert_array_equal(np.asarray(rows[0, 2]), np.asarray(x[0, 4]))
+    np.testing.assert_array_equal(np.asarray(rows[1, 0]), np.asarray(x[1, 3]))
+    assert (np.asarray(rows[0, 3]) == 0).all()

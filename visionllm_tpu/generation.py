@@ -1,0 +1,200 @@
+"""Autoregressive generation with super-link tool routing.
+
+Reference behavior (modeling_visionllmv2.py:426-555 + generate loop):
+when the LLM samples a tool token ([DET]/[GRD]/[SEG]/[POSE]/[GEN]/[EDIT]),
+the next 4 (perception) or 64 (generation) *inputs* are the tool's
+learnable [EMB] embeddings, and the corresponding [EMB] token ids are
+appended to the sequence; their hidden states become the tool's text
+queries.
+
+The reference implements this by growing input_ids/attention_mask
+mid-decode (dynamic shapes — a non-starter under XLA). Here the same
+semantics are an *emb-countdown state machine* inside a single
+`lax.while_loop`: every iteration feeds exactly one embedding row — a
+sampled token's embedding, or, while the countdown is live, the next
+forced [EMB] row — so shapes never change and one compiled step serves
+the whole decode. Per-step final-layer hidden states are recorded into a
+fixed buffer so tool decoders can gather their text queries afterwards.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from visionllm_tpu import constants as C
+from visionllm_tpu.config import VisionLLMConfig
+from visionllm_tpu.models.llama import KVCache
+from visionllm_tpu.models.visionllm import SpecialTokenIds, VisionLLM
+
+
+@flax.struct.dataclass
+class DecodeState:
+    cache: KVCache
+    cur_embed: jnp.ndarray       # [B, 1, C] input for this step
+    out_tokens: jnp.ndarray      # [B, max_new] generated ids (incl. [EMB]s)
+    out_hidden: jnp.ndarray      # [B, max_new, C] final-norm hidden states
+    step: jnp.ndarray            # scalar int32 — tokens emitted so far
+    emb_countdown: jnp.ndarray   # [B] forced [EMB] rows still to feed
+    emb_kind: jnp.ndarray        # [B] TOOL_* of the live countdown
+    done: jnp.ndarray            # [B] bool
+
+
+def _tool_kind(token: jnp.ndarray, tid: SpecialTokenIds) -> jnp.ndarray:
+    kind = jnp.zeros_like(token)
+    for ids, code in (((tid.det, tid.seg, tid.grd), C.TOOL_DET),
+                      ((tid.pose,), C.TOOL_POSE),
+                      ((tid.gen,), C.TOOL_GEN),
+                      ((tid.edit,), C.TOOL_EDIT)):
+        for t in ids:
+            kind = jnp.where(token == t, code, kind)
+    return kind
+
+
+def build_generate_fn(
+    model: VisionLLM,
+    tid: SpecialTokenIds,
+    *,
+    max_new_tokens: int = 256,
+    eos_id: int = 2,
+    max_len: int = 4096,
+):
+    """Returns a jitted `generate(params, input_ids, images)` closure.
+
+    input_ids: [1, L_prompt] (right-aligned, no padding — reference
+    enforces bs=1 for generation too). Returns dict with out_tokens
+    [1, max_new_tokens], out_hidden [1, max_new, C], num_generated.
+    """
+    cfg = model.cfg
+    num_embs, num_embs_gen = cfg.num_embs, cfg.num_embs_gen
+
+    def step_fn(params, state: DecodeState) -> DecodeState:
+        B = state.cur_embed.shape[0]
+        pos = jnp.broadcast_to(state.cache.index[None, None], (B, 1))
+        out = model.apply(
+            {"params": params}, state.cur_embed, pos.astype(jnp.int32),
+            state.cache, method=VisionLLM.llm_step)
+        logits, hidden, cache = out["logits"], out["hidden"], out["cache"]
+        sampled = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+
+        forcing = state.emb_countdown > 0
+        total = jnp.where(state.emb_kind >= C.TOOL_GEN, num_embs_gen,
+                          num_embs)
+        offset = total - state.emb_countdown
+        # perception embs have distinct ids [EMB]..[EMB4]; gen/edit repeat
+        # [EMB] (reference :434-435)
+        forced_token = jnp.where(
+            state.emb_kind >= C.TOOL_GEN, tid.emb, tid.emb + offset)
+        next_token = jnp.where(forcing, forced_token, sampled)
+
+        # embeddings for the next step's input
+        tables = {
+            C.TOOL_DET: params["emb_embeddings_det"],
+            C.TOOL_POSE: params["emb_embeddings_pose"],
+            C.TOOL_GEN: params["emb_embeddings_gen"],
+            C.TOOL_EDIT: params["emb_embeddings_edit"],
+        }
+        sampled_embed = model.apply({"params": params}, next_token[:, None],
+                                    method=VisionLLM.embed_tokens)
+        next_embed = sampled_embed
+        for code, table in tables.items():
+            n = table.shape[0]
+            row = table[jnp.clip(offset, 0, n - 1)]     # [B, C]
+            use = forcing & (state.emb_kind == code)
+            next_embed = jnp.where(use[:, None, None],
+                                   row[:, None, :].astype(next_embed.dtype),
+                                   next_embed)
+
+        # countdown bookkeeping: start on sampled tool token, else decrement
+        new_kind = _tool_kind(sampled, tid)
+        started = (~forcing) & (new_kind > 0)
+        start_total = jnp.where(new_kind >= C.TOOL_GEN, num_embs_gen,
+                                num_embs)
+        countdown = jnp.where(
+            forcing, state.emb_countdown - 1,
+            jnp.where(started, start_total, 0))
+        kind = jnp.where(forcing, state.emb_kind,
+                         jnp.where(started, new_kind, 0))
+
+        done = state.done | ((~forcing) & (sampled == eos_id))
+        rec_token = jnp.where(state.done, 0, next_token)
+        out_tokens = jax.lax.dynamic_update_slice(
+            state.out_tokens, rec_token[:, None], (0, state.step))
+        out_hidden = jax.lax.dynamic_update_slice(
+            state.out_hidden, hidden.astype(state.out_hidden.dtype),
+            (0, state.step, 0))
+        return DecodeState(
+            cache=cache, cur_embed=next_embed, out_tokens=out_tokens,
+            out_hidden=out_hidden, step=state.step + 1,
+            emb_countdown=countdown, emb_kind=kind, done=done)
+
+    def generate(params, input_ids: jnp.ndarray,
+                 images: Optional[jnp.ndarray]) -> Dict[str, Any]:
+        B, L = input_ids.shape
+        cache = KVCache.create(cfg.llm, B, max_len, dtype=model.dtype)
+        out = model.apply({"params": params}, input_ids, images, tid,
+                          cache=cache)
+        logits, cache = out["logits"], out["cache"]
+        first = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        first_embed = model.apply({"params": params}, first[:, None],
+                                  method=VisionLLM.embed_tokens)
+
+        kind0 = _tool_kind(first, tid)
+        total0 = jnp.where(kind0 >= C.TOOL_GEN, num_embs_gen, num_embs)
+        hid = cfg.llm.hidden_size
+        state = DecodeState(
+            cache=cache,
+            cur_embed=first_embed,
+            out_tokens=jnp.zeros((B, max_new_tokens), jnp.int32
+                                 ).at[:, 0].set(first),
+            out_hidden=jnp.zeros((B, max_new_tokens, hid), jnp.float32),
+            step=jnp.ones((), jnp.int32),
+            emb_countdown=jnp.where(kind0 > 0, total0, 0),
+            emb_kind=kind0,
+            done=first == eos_id,
+        )
+
+        def cond(s: DecodeState):
+            return (s.step < max_new_tokens) & ~jnp.all(s.done)
+
+        state = jax.lax.while_loop(cond, lambda s: step_fn(params, s), state)
+        return {"out_tokens": state.out_tokens,
+                "out_hidden": state.out_hidden,
+                "num_generated": state.step,
+                "cache": state.cache}
+
+    return jax.jit(generate)
+
+
+def extract_tool_queries_from_generation(
+    cfg: VisionLLMConfig,
+    tid: SpecialTokenIds,
+    out_tokens: jnp.ndarray,      # [B, max_new]
+    out_hidden: jnp.ndarray,      # [B, max_new, C]
+) -> Dict[str, Any]:
+    """Post-decode: gather text queries for each tool from the recorded
+    hidden states (host-side convenience, small arrays)."""
+    from visionllm_tpu.models.visionllm import compact_masked_rows
+
+    is_emb = ((out_tokens >= tid.emb)
+              & (out_tokens < tid.emb + cfg.num_embs))
+    from visionllm_tpu.models.visionllm import tool_context
+    ctx, _ = tool_context(out_tokens, tid)
+
+    result = {}
+    for name, code, n in (("det", C.TOOL_DET, cfg.num_embs),
+                          ("pose", C.TOOL_POSE, cfg.num_embs),
+                          ("gen", C.TOOL_GEN, cfg.num_embs_gen),
+                          ("edit", C.TOOL_EDIT, cfg.num_embs_gen)):
+        mask = is_emb & (ctx == code)
+        rows, valid = compact_masked_rows(
+            out_hidden, mask, cfg.max_num_patches * n)
+        B = out_tokens.shape[0]
+        tq = rows.reshape(B, cfg.max_num_patches, n, -1)
+        tq_mask = valid.reshape(B, cfg.max_num_patches, n)[..., 0]
+        result[name] = (tq, tq_mask)
+    return result

@@ -1,0 +1,199 @@
+"""LLaMA-family causal decoder (Vicuna-7B default, InternLM2 via GQA and
+packed-qkv naming handled in the weight converter).
+
+Behavioral reference: HF LlamaForCausalLM as used by the composite model
+(visionllmv2/model/modeling_visionllmv2.py:724-738 — takes inputs_embeds,
+returns last-layer hidden states *after* the final RMSNorm plus lm_head
+logits).
+
+TPU design
+----------
+* layers are a single `nn.scan` over stacked parameters — one compile of
+  one block instead of 32 unrolled copies; the KV cache is likewise a
+  stacked [n_layers, ...] array scanned in lockstep.
+* prefill and decode are the same module: `cache=None` (training) runs
+  causal attention over the sequence; with a `KVCache`, q_len>1 is a
+  prefill that writes the cache window, q_len==1 is a decode step that
+  attends over the cache buffer (static max_len, masked by position).
+* everything is static-shape: the cache buffer is allocated at
+  `max_len` once; decode never reshapes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from visionllm_tpu.config import LLMConfig
+from visionllm_tpu.models.common import RMSNorm, apply_rope, rope_cos_sin
+from visionllm_tpu.ops.attention import multi_head_attention
+
+
+@flax.struct.dataclass
+class KVCache:
+    k: jnp.ndarray          # [n_layers, B, max_len, H_kv, D]
+    v: jnp.ndarray          # [n_layers, B, max_len, H_kv, D]
+    index: jnp.ndarray      # scalar int32 — number of tokens already cached
+
+    @classmethod
+    def create(cls, cfg: LLMConfig, batch: int, max_len: int,
+               dtype=jnp.bfloat16) -> "KVCache":
+        shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads,
+                 cfg.head_dim)
+        return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+                   index=jnp.zeros((), jnp.int32))
+
+
+class LlamaDecoderLayer(nn.Module):
+    cfg: LLMConfig
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, hidden, cos, sin, attn_bias, cache_index, k_cache,
+                 v_cache):
+        """One block. Returns (hidden, (new_k_cache, new_v_cache)).
+
+        k_cache/v_cache are this layer's [B, max_len, H_kv, D] slices (or
+        None when running cache-less).
+        """
+        cfg = self.cfg
+        B, L, _ = hidden.shape
+        residual = hidden
+        x = RMSNorm(eps=cfg.rms_norm_eps, dtype=self.dtype,
+                    name="input_layernorm")(hidden)
+
+        dense = lambda feats, name: nn.Dense(
+            feats, use_bias=False, dtype=self.dtype, name=name)
+        q = dense(cfg.num_heads * cfg.head_dim, "q_proj")(x)
+        k = dense(cfg.num_kv_heads * cfg.head_dim, "k_proj")(x)
+        v = dense(cfg.num_kv_heads * cfg.head_dim, "v_proj")(x)
+        q = q.reshape(B, L, cfg.num_heads, cfg.head_dim)
+        k = k.reshape(B, L, cfg.num_kv_heads, cfg.head_dim)
+        v = v.reshape(B, L, cfg.num_kv_heads, cfg.head_dim)
+        q, k = apply_rope(q, k, cos, sin)
+
+        if k_cache is None:
+            attn = multi_head_attention(q, k, v, mask=attn_bias, causal=True)
+            new_k = new_v = None
+        else:
+            new_k = jax.lax.dynamic_update_slice(
+                k_cache, k.astype(k_cache.dtype), (0, cache_index, 0, 0))
+            new_v = jax.lax.dynamic_update_slice(
+                v_cache, v.astype(v_cache.dtype), (0, cache_index, 0, 0))
+            if L > 1:
+                # prefill: attend within the fresh window only (cache was
+                # empty before index=0 prefill)
+                attn = multi_head_attention(q, k, v, mask=attn_bias,
+                                            causal=True)
+            else:
+                # decode: attend over the whole (masked) cache buffer
+                attn = multi_head_attention(q, new_k.astype(q.dtype),
+                                            new_v.astype(q.dtype),
+                                            mask=attn_bias, causal=False)
+
+        attn = attn.reshape(B, L, cfg.num_heads * cfg.head_dim)
+        hidden = residual + dense(cfg.hidden_size, "o_proj")(attn)
+
+        residual = hidden
+        x = RMSNorm(eps=cfg.rms_norm_eps, dtype=self.dtype,
+                    name="post_attention_layernorm")(hidden)
+        gate = dense(cfg.intermediate_size, "gate_proj")(x)
+        up = dense(cfg.intermediate_size, "up_proj")(x)
+        hidden = residual + dense(cfg.hidden_size, "down_proj")(
+            nn.silu(gate) * up)
+        return hidden, (new_k, new_v)
+
+
+class _ScannedLayer(nn.Module):
+    """scan-compatible wrapper: (carry, xs) -> (carry, ys)."""
+
+    cfg: LLMConfig
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, carry, layer_cache):
+        hidden, cos, sin, attn_bias, cache_index = carry
+        k_cache, v_cache = layer_cache
+        hidden, new_cache = LlamaDecoderLayer(
+            self.cfg, self.dtype, name="layer")(
+                hidden, cos, sin, attn_bias, cache_index, k_cache, v_cache)
+        return (hidden, cos, sin, attn_bias, cache_index), new_cache
+
+
+class LlamaModel(nn.Module):
+    """Decoder stack + embeddings + lm_head (untied, like Vicuna)."""
+
+    cfg: LLMConfig
+    dtype: jnp.dtype = jnp.bfloat16
+
+    def setup(self):
+        cfg = self.cfg
+        self.embed_tokens = nn.Embed(
+            cfg.vocab_size, cfg.hidden_size, dtype=self.dtype,
+            name="embed_tokens")
+        self.layers = nn.scan(
+            _ScannedLayer,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=0,
+            out_axes=0,
+            length=cfg.num_layers,
+        )(cfg, self.dtype, name="layers")
+        self.norm = RMSNorm(eps=cfg.rms_norm_eps, dtype=self.dtype,
+                            name="norm")
+        self.lm_head = nn.Dense(cfg.vocab_size, use_bias=False,
+                                dtype=self.dtype, name="lm_head")
+
+    def embed(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+        return self.embed_tokens(input_ids)
+
+    def __call__(
+        self,
+        inputs_embeds: jnp.ndarray,             # [B, L, hid]
+        positions: jnp.ndarray,                 # [B, L] absolute positions
+        attn_mask: Optional[jnp.ndarray] = None,  # [B, L] (no cache) or
+                                                  # [B, max_len] (decode)
+        cache: Optional[KVCache] = None,
+        compute_logits: bool = True,
+    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[KVCache]]:
+        """Returns (hidden_after_final_norm, logits_fp32, new_cache)."""
+        cfg = self.cfg
+        B, L, _ = inputs_embeds.shape
+        cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta,
+                                dtype=self.dtype)
+
+        # attention bias [B, 1, L, Lk] (True = attend); causal handled by
+        # the kernel for the windowed paths
+        if cache is None or L > 1:
+            bias = None
+            if attn_mask is not None:
+                bias = attn_mask[:, None, None, :].astype(bool)
+        else:
+            max_len = cache.k.shape[2]
+            pos_valid = jnp.arange(max_len)[None, :] <= cache.index
+            if attn_mask is not None:
+                pos_valid = pos_valid & attn_mask.astype(bool)
+            bias = pos_valid[:, None, None, :]
+
+        hidden = inputs_embeds.astype(self.dtype)
+        cache_index = cache.index if cache is not None else jnp.zeros(
+            (), jnp.int32)
+        layer_cache = ((cache.k, cache.v) if cache is not None
+                       else (None, None))
+        (hidden, *_), new_layer_cache = self.layers(
+            (hidden, cos, sin, bias, cache_index), layer_cache)
+
+        hidden = self.norm(hidden)
+        logits = None
+        if compute_logits:
+            logits = self.lm_head(hidden).astype(jnp.float32)
+
+        new_cache = None
+        if cache is not None:
+            new_k, new_v = new_layer_cache
+            new_cache = KVCache(k=new_k, v=new_v, index=cache.index + L)
+        return hidden, logits, new_cache

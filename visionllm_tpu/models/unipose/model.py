@@ -1,0 +1,469 @@
+"""UniPose keypoint decoder (pose atom tool).
+
+Behavioral reference: visionllmv2/model/unipose/modeling_unipose.py
+(UniPose :69-925, DeformableTransformer :2206-2699, TransformerEncoder
+:2701-2867, TransformerDecoder :2869-3131, layers :2122-2205, :3188-3324).
+
+Architecture: Swin backbone → 4-level deformable encoder with GLIP-style
+vision↔text fusion (obj text queries from the LLM) → two-stage top-900
+box queries → 2 box-decoder layers → top-50 selection, each expanded to
+a (1 box + num_body_points keypoint) group whose keypoint-query content
+is the LLM's projected keypoint embeddings → 4 pose-decoder layers
+refining boxes and keypoints separately.
+
+TPU redesign of the group attention: after expansion the reference
+builds a [B*heads, 50*69, 50*69] attention mask (95 MB/sample). Since
+post-expansion self-attention is strictly group-isolated, we instead
+reshape queries to [B*50, 69, C] and run batched attention with the
+shared per-group validity mask — same math (modulo a reference bug that
+leaves group 49's tail rows unmasked, which we deliberately do not
+reproduce), at 1/2500th of the mask footprint.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from visionllm_tpu.config import UniPoseConfig
+from visionllm_tpu.models.common import MLP
+from visionllm_tpu.models.grounding_dino.layers import (
+    NEG_INF, DeformableAttention, DeformableEncoderLayer, FusionLayer,
+    TorchMHA, encoder_reference_points, get_sine_pos_embed,
+    sine_position_embedding)
+from visionllm_tpu.models.grounding_dino.model import (
+    _downsample_mask, _valid_ratio, generate_masks_with_text_query_masks)
+from visionllm_tpu.models.swin import (SwinBackbone, swin_large_config,
+                                       swin_tiny_config)
+from visionllm_tpu.ops.box_ops import inverse_sigmoid
+
+
+class TextEncoderLayer(nn.Module):
+    """Plain post-LN transformer encoder layer for text queries
+    (reference TransformerEncoderLayer :2122-2167; note it does NOT use
+    the key-padding mask — matching that exactly)."""
+
+    d_model: int
+    ffn_dim: int
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, text, *, attn_mask, pos):
+        q = text + pos
+        attn = TorchMHA(self.d_model, self.num_heads, self.dtype,
+                        name="self_attn")(q, q, text, attn_mask=attn_mask)
+        text = nn.LayerNorm(dtype=self.dtype, name="norm1")(text + attn)
+        x = nn.Dense(self.ffn_dim, dtype=self.dtype, name="linear1")(text)
+        x = nn.relu(x)
+        x = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(x)
+        return nn.LayerNorm(dtype=self.dtype, name="norm2")(text + x)
+
+
+class UniPoseEncoderLayer(nn.Module):
+    cfg: UniPoseConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, vision, text, *, vision_pos, spatial_shapes,
+                 reference_points, vision_pad_mask, text_pad_mask,
+                 text_self_attn_mask, text_pos):
+        cfg = self.cfg
+        vision, text = FusionLayer(
+            cfg.d_model, cfg.ffn_dim // 2, cfg.num_heads // 2, self.dtype,
+            name="fusion_layer")(
+                vision, text, vision_pad_mask=vision_pad_mask,
+                text_pad_mask=text_pad_mask)
+        text = TextEncoderLayer(
+            cfg.d_model, cfg.ffn_dim // 2, cfg.num_heads // 2, self.dtype,
+            name="text_layer")(
+                text, attn_mask=~text_self_attn_mask, pos=text_pos)
+        vision = DeformableEncoderLayer(
+            cfg.d_model, cfg.ffn_dim, cfg.num_heads, cfg.num_feature_levels,
+            cfg.num_points, self.dtype, name="deformable_layer")(
+                vision, position_embeddings=vision_pos,
+                reference_points=reference_points,
+                spatial_shapes=spatial_shapes,
+                value_mask=None if vision_pad_mask is None
+                else ~vision_pad_mask)
+        return vision, text
+
+
+class UniPoseDecoderLayer(nn.Module):
+    """Order (reference :3188-3324): self-attn → text cross-attn →
+    deformable cross-attn → FFN, all post-LN."""
+
+    cfg: UniPoseConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, *, query_pos, reference_points,
+                 spatial_shapes, vision, vision_valid_mask, text,
+                 text_pad_mask, self_attn_mask=None, groups=None,
+                 group_mask=None):
+        cfg = self.cfg
+        B, N, C = hidden.shape
+        q = hidden + query_pos
+        if groups is None:
+            attn = TorchMHA(cfg.d_model, cfg.num_heads, self.dtype,
+                            name="self_attn")(
+                q, q, hidden, attn_mask=self_attn_mask)
+        else:
+            # group-isolated self-attention: [B, G*g, C] -> [B*G, g, C]
+            g = N // groups
+            qg = q.reshape(B * groups, g, C)
+            hg = hidden.reshape(B * groups, g, C)
+            gm = None
+            if group_mask is not None:   # [B, g, g] True = NOT allowed
+                gm = jnp.repeat(group_mask, groups, axis=0)
+            attn = TorchMHA(cfg.d_model, cfg.num_heads, self.dtype,
+                            name="self_attn")(
+                qg, qg, hg, attn_mask=gm).reshape(B, N, C)
+        hidden = nn.LayerNorm(dtype=self.dtype, name="norm2")(hidden + attn)
+
+        attn = TorchMHA(cfg.d_model, cfg.num_heads, self.dtype,
+                        name="ca_text")(
+            hidden + query_pos, text, text, key_padding_mask=text_pad_mask)
+        hidden = nn.LayerNorm(dtype=self.dtype, name="catext_norm")(
+            hidden + attn)
+
+        attn = DeformableAttention(
+            cfg.d_model, cfg.num_heads, cfg.num_feature_levels,
+            cfg.num_points, self.dtype, name="cross_attn")(
+                hidden, vision, position_embeddings=query_pos,
+                reference_points=reference_points,
+                spatial_shapes=spatial_shapes,
+                value_mask=vision_valid_mask)
+        hidden = nn.LayerNorm(dtype=self.dtype, name="norm1")(hidden + attn)
+
+        x = nn.Dense(cfg.ffn_dim, dtype=self.dtype, name="linear1")(hidden)
+        x = nn.relu(x)
+        x = nn.Dense(cfg.d_model, dtype=self.dtype, name="linear2")(x)
+        return nn.LayerNorm(dtype=self.dtype, name="norm3")(hidden + x)
+
+
+def contrastive_assign(x, text, text_token_mask):
+    """Parameterless open-vocab classification (reference :947-993):
+    queries · text embeddings with -inf at padded text positions; output
+    width = number of text tokens (NOT padded to 256)."""
+    logits = jnp.einsum("bqc,btc->bqt", x, text,
+                        preferred_element_type=jnp.float32)
+    return jnp.where(text_token_mask[:, None, :], logits, NEG_INF)
+
+
+class UniPose(nn.Module):
+    cfg: UniPoseConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        cfg = self.cfg
+        if cfg.backbone == "swin_tiny":
+            swin_cfg = swin_tiny_config(out_stages=(1, 2, 3))
+        elif cfg.backbone == "swin_large":
+            swin_cfg = swin_large_config(out_stages=(1, 2, 3))
+        else:
+            raise NotImplementedError(cfg.backbone)
+        self.backbone = SwinBackbone(swin_cfg, self.dtype, name="backbone")
+
+        self.projection_llava = MLP(cfg.d_model, cfg.d_model, 3, self.dtype,
+                                    name="projection_llava")
+        self.projection_kpt_llava = MLP(cfg.d_model, cfg.d_model, 3,
+                                        self.dtype,
+                                        name="projection_kpt_llava")
+
+        self.input_proj_convs = [
+            nn.Conv(cfg.d_model, (1, 1), dtype=self.dtype,
+                    name=f"input_proj_{i}") for i in range(3)]
+        self.input_proj_norms = [
+            nn.GroupNorm(num_groups=32, dtype=self.dtype,
+                         name=f"input_proj_norm_{i}") for i in range(3)]
+        self.extra_proj_conv = nn.Conv(
+            cfg.d_model, (3, 3), strides=(2, 2), padding=1, dtype=self.dtype,
+            name="input_proj_3")
+        self.extra_proj_norm = nn.GroupNorm(num_groups=32, dtype=self.dtype,
+                                            name="input_proj_norm_3")
+
+        self.level_embed = self.param(
+            "level_embed", nn.initializers.normal(1.0),
+            (cfg.num_feature_levels, cfg.d_model), jnp.float32)
+
+        self.encoder_layers = [
+            UniPoseEncoderLayer(cfg, self.dtype, name=f"encoder_layer_{i}")
+            for i in range(cfg.encoder_layers)]
+        self.decoder_layers = [
+            UniPoseDecoderLayer(cfg, self.dtype, name=f"decoder_layer_{i}")
+            for i in range(cfg.decoder_layers)]
+        self.decoder_norm = nn.LayerNorm(dtype=self.dtype,
+                                         name="decoder_norm")
+        self.ref_point_head = MLP(cfg.d_model, cfg.d_model, 2, self.dtype,
+                                  name="ref_point_head")
+
+        # two-stage
+        self.enc_output = nn.Dense(cfg.d_model, dtype=self.dtype,
+                                   name="enc_output")
+        self.enc_output_norm = nn.LayerNorm(dtype=self.dtype,
+                                            name="enc_output_norm")
+        self.enc_out_bbox_embed = MLP(cfg.d_model, 4, 3, self.dtype,
+                                      name="enc_out_bbox_embed")
+        self.tgt_embed = self.param(
+            "tgt_embed", nn.initializers.normal(1.0),
+            (cfg.num_queries, cfg.d_model), jnp.float32)
+
+        # shared heads
+        self.bbox_embed = MLP(cfg.d_model, 4, 3, self.dtype,
+                              name="bbox_embed")
+        self.pose_embed = MLP(cfg.d_model, 2, 3, self.dtype,
+                              name="pose_embed")
+        self.pose_hw_embed = MLP(cfg.d_model, 2, 3, self.dtype,
+                                 name="pose_hw_embed")
+        # learned keypoint wh priors: 17 base + (num_body_points-17) appended
+        self.hw = self.param("hw", nn.initializers.normal(1.0), (17, 2),
+                             jnp.float32)
+        self.hw_append = self.param(
+            "hw_append", nn.initializers.normal(1.0),
+            (self.cfg.num_body_points - 17, 2), jnp.float32)
+
+    def gen_proposals(self, memory, valid_mask, spatial_shapes):
+        """Same anchor-proposal scheme as grounding-dino (reference
+        unipose utils gen_encoder_output_proposals)."""
+        B, S, _ = memory.shape
+        props = []
+        pos = 0
+        for lvl, (h, w) in enumerate(spatial_shapes):
+            m = valid_mask[:, pos:pos + h * w].reshape(B, h, w)
+            valid_h = jnp.sum(m[:, :, 0], axis=1)
+            valid_w = jnp.sum(m[:, 0, :], axis=1)
+            gy, gx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                                  jnp.arange(w, dtype=jnp.float32),
+                                  indexing="ij")
+            grid = jnp.stack([gx, gy], axis=-1)[None]
+            scale = jnp.stack([valid_w, valid_h], -1).reshape(B, 1, 1, 2)
+            grid = (grid + 0.5) / scale
+            wh = jnp.full_like(grid, 0.05 * (2.0 ** lvl))
+            props.append(jnp.concatenate([grid, wh], -1).reshape(B, -1, 4))
+            pos += h * w
+        proposals = jnp.concatenate(props, axis=1)
+        ok = jnp.all((proposals > 0.01) & (proposals < 0.99), -1,
+                     keepdims=True)
+        proposals = jnp.log(proposals / (1 - proposals))
+        bad = (~valid_mask[..., None]) | (~ok)
+        proposals = jnp.where(bad, jnp.inf, proposals)
+        oq = jnp.where(bad, 0.0, memory)
+        oq = self.enc_output_norm(self.enc_output(oq))
+        return oq, proposals
+
+    def __call__(
+        self,
+        pixel_values: jnp.ndarray,          # [B, H, W, 3]
+        obj_querys: jnp.ndarray,            # [B, P_obj, num_embs, text_dim]
+        obj_query_masks: jnp.ndarray,       # [B, P_obj] bool
+        kpt_querys: jnp.ndarray,            # [B, P_kpt, num_embs, text_dim]
+        kpt_query_masks: jnp.ndarray,       # [B, P_kpt] bool
+        pixel_mask: Optional[jnp.ndarray] = None,
+        dn: Optional[Dict[str, jnp.ndarray]] = None,
+    ) -> Dict[str, Any]:
+        cfg = self.cfg
+        B, H, W, _ = pixel_values.shape
+        nb = cfg.num_body_points
+        G = cfg.num_groups
+        if pixel_mask is None:
+            pixel_mask = jnp.ones((B, H, W), bool)
+
+        # text queries (reference :376-430)
+        encoded_text = self.projection_llava(obj_querys).mean(axis=-2)
+        kpt_embed_full = self.projection_kpt_llava(kpt_querys).mean(axis=-2)
+        # zero out invalid keypoint slots, crop/pad to num_body_points
+        kpt_embed = jnp.where(kpt_query_masks[..., None],
+                              kpt_embed_full, 0.0)[:, :nb]
+        if kpt_embed.shape[1] < nb:
+            kpt_embed = jnp.pad(
+                kpt_embed, ((0, 0), (0, nb - kpt_embed.shape[1]), (0, 0)))
+        kpt_vis = kpt_query_masks[:, :nb]
+        if kpt_vis.shape[1] < nb:
+            kpt_vis = jnp.pad(kpt_vis, ((0, 0), (0, nb - kpt_vis.shape[1])))
+        kpt_mask = jnp.concatenate(
+            [jnp.ones((B, 1), kpt_vis.dtype), kpt_vis], axis=1)  # [B, 1+nb]
+
+        text_token_mask = obj_query_masks.astype(bool)
+        text_self_attn_mask, text_position_ids = (
+            generate_masks_with_text_query_masks(obj_query_masks))
+        text_pos = get_sine_pos_embed(
+            text_position_ids[..., None].astype(jnp.float32),
+            num_pos_feats=cfg.d_model, exchange_xy=False)
+
+        # backbone (strides 8/16/32 + extra 64)
+        feats = self.backbone(pixel_values)
+        sources, masks_l, pos_l = [], [], []
+        for i in range(3):
+            x = self.input_proj_norms[i](self.input_proj_convs[i](feats[i]))
+            m = _downsample_mask(pixel_mask, x.shape[1:3])
+            sources.append(x)
+            masks_l.append(m)
+            pos_l.append(sine_position_embedding(m, cfg.d_model,
+                                                 temperature=10000))
+        extra = self.extra_proj_norm(self.extra_proj_conv(feats[-1]))
+        m = _downsample_mask(pixel_mask, extra.shape[1:3])
+        sources.append(extra)
+        masks_l.append(m)
+        pos_l.append(sine_position_embedding(m, cfg.d_model,
+                                             temperature=10000))
+
+        spatial_shapes = tuple((s.shape[1], s.shape[2]) for s in sources)
+        src_flat = jnp.concatenate(
+            [s.reshape(B, -1, cfg.d_model) for s in sources], axis=1)
+        mask_flat = jnp.concatenate([m.reshape(B, -1) for m in masks_l], 1)
+        pos_flat = jnp.concatenate(
+            [(p + self.level_embed[i][None, None, None]).reshape(
+                B, -1, cfg.d_model) for i, p in enumerate(pos_l)], axis=1)
+        valid_ratios = jnp.stack([_valid_ratio(m) for m in masks_l], axis=1)
+
+        # encoder
+        ref_pts = encoder_reference_points(spatial_shapes, valid_ratios)
+        vision, text = src_flat, encoded_text
+        vision_pad = ~mask_flat
+        text_pad = ~text_token_mask
+        for layer in self.encoder_layers:
+            vision, text = layer(
+                vision, text, vision_pos=pos_flat,
+                spatial_shapes=spatial_shapes, reference_points=ref_pts,
+                vision_pad_mask=vision_pad, text_pad_mask=text_pad,
+                text_self_attn_mask=text_self_attn_mask, text_pos=text_pos)
+
+        # two-stage: top-900 proposals, learned target embeddings
+        oq, proposals = self.gen_proposals(vision, mask_flat, spatial_shapes)
+        enc_class = contrastive_assign(oq, text, text_token_mask)
+        enc_coord = self.enc_out_bbox_embed(oq) + proposals
+        _, topk_idx = jax.lax.top_k(jnp.max(enc_class, -1), cfg.num_queries)
+        ref_logit = jax.lax.stop_gradient(
+            jnp.take_along_axis(enc_coord, topk_idx[..., None], axis=1))
+        tgt_undetach = jnp.take_along_axis(
+            oq, topk_idx[..., None], axis=1)
+        target = jnp.broadcast_to(self.tgt_embed[None].astype(self.dtype),
+                                  (B, cfg.num_queries, cfg.d_model))
+
+        self_attn_mask = None
+        n_dn = 0
+        if dn is not None:
+            target = jnp.concatenate([dn["query_label"], target], axis=1)
+            ref_logit = jnp.concatenate([dn["query_bbox"], ref_logit], axis=1)
+            self_attn_mask = dn["attn_mask"]
+            n_dn = dn["query_label"].shape[1]
+
+        reference_points = jax.nn.sigmoid(ref_logit)
+        # per-group validity self-attn mask for post-expansion layers:
+        # slots attend only to same-validity slots within their group
+        eq = kpt_mask[:, :, None] == kpt_mask[:, None, :]   # [B, 1+nb, 1+nb]
+        group_mask = ~eq
+
+        hidden = target
+        intermediates, all_refs = [], [reference_points]
+        expanded = False
+        for lid, layer in enumerate(self.decoder_layers):
+            ref_input = (reference_points[:, :, None]
+                         * jnp.concatenate([valid_ratios, valid_ratios],
+                                           -1)[:, None])
+            sine = get_sine_pos_embed(ref_input[:, :, 0, :],
+                                      num_pos_feats=cfg.d_model // 2,
+                                      exchange_xy=True)
+            query_pos = self.ref_point_head(sine)
+            hidden = layer(
+                hidden, query_pos=query_pos, reference_points=ref_input,
+                spatial_shapes=spatial_shapes, vision=vision,
+                vision_valid_mask=mask_flat, text=text,
+                text_pad_mask=text_pad,
+                self_attn_mask=self_attn_mask if not expanded else None,
+                groups=G if expanded else None,
+                group_mask=group_mask if expanded else None)
+            intermediates.append(self.decoder_norm(hidden))
+
+            if lid < cfg.num_box_decoder_layers:
+                delta = self.bbox_embed(hidden)
+                new_ref = jax.nn.sigmoid(
+                    delta + inverse_sigmoid(reference_points))
+
+            if lid == cfg.num_box_decoder_layers - 1:
+                # box→keypoint expansion (reference :3043-3095)
+                match_cls = contrastive_assign(
+                    hidden[:, n_dn:], text, text_token_mask)
+                _, top_g = jax.lax.top_k(jnp.max(match_cls, -1), G)
+                box_ref = jnp.take_along_axis(
+                    new_ref[:, n_dn:], top_g[..., None], axis=1)  # [B,G,4]
+                box_out = jnp.take_along_axis(
+                    hidden[:, n_dn:], top_g[..., None], axis=1)   # [B,G,C]
+                kpt_out = jnp.broadcast_to(
+                    kpt_embed[:, None], (B, G, nb, cfg.d_model))
+                delta_xy = self.pose_embed(kpt_out)[..., :2]
+                kpt_xy = jax.nn.sigmoid(
+                    inverse_sigmoid(box_ref[..., None, :2]) + delta_xy)
+                wh_w = jax.nn.sigmoid(jnp.concatenate(
+                    [self.hw, self.hw_append], axis=0))           # [nb, 2]
+                kpt_wh = wh_w[None, None] * box_ref[..., None, 2:]
+                kpt_ref = jnp.concatenate([kpt_xy, kpt_wh], -1)   # [B,G,nb,4]
+                new_ref = jnp.concatenate(
+                    [box_ref[:, :, None], kpt_ref], axis=2
+                ).reshape(B, G * (nb + 1), 4)
+                hidden = jnp.concatenate(
+                    [box_out[:, :, None], kpt_out], axis=2
+                ).reshape(B, G * (nb + 1), cfg.d_model)
+                # CDN queries past the expansion (training) are handled by
+                # the pose training wrapper; inference never carries them.
+                assert n_dn == 0, "pose CDN not supported in this path yet"
+                expanded = True
+
+            if lid >= cfg.num_box_decoder_layers:
+                # separate box / kpt refinement (reference :3097-3117)
+                hg = hidden.reshape(B, G, nb + 1, cfg.d_model)
+                rg = inverse_sigmoid(
+                    reference_points.reshape(B, G, nb + 1, 4))
+                box_new = jax.nn.sigmoid(
+                    self.bbox_embed(hg[:, :, 0]) + rg[:, :, 0])
+                kpt_dxy = self.pose_embed(hg[:, :, 1:])
+                kpt_dhw = self.pose_hw_embed(hg[:, :, 1:])
+                kpt_new = jax.nn.sigmoid(jnp.concatenate(
+                    [rg[:, :, 1:, :2] + kpt_dxy, rg[:, :, 1:, 2:] + kpt_dhw],
+                    axis=-1))
+                new_ref = jnp.concatenate(
+                    [box_new[:, :, None], kpt_new], axis=2
+                ).reshape(B, G * (nb + 1), 4)
+
+            reference_points = jax.lax.stop_gradient(new_ref)
+            all_refs.append(new_ref)
+
+        # output heads (reference :497-624)
+        out_classes, out_coords, out_keypoints = [], [], []
+        for lid, (hs, ref) in enumerate(zip(intermediates, all_refs[:-1])):
+            if lid < cfg.num_box_decoder_layers:
+                coord = jax.nn.sigmoid(
+                    self.bbox_embed(hs) + inverse_sigmoid(ref))
+                cls = contrastive_assign(hs, text, text_token_mask)
+                kp = jnp.zeros((B, hs.shape[1], nb * 3), jnp.float32)
+            else:
+                hg = hs.reshape(B, G, nb + 1, cfg.d_model)
+                rg = inverse_sigmoid(ref.reshape(B, G, nb + 1, 4))
+                coord = jax.nn.sigmoid(
+                    self.bbox_embed(hg[:, :, 0]) + rg[:, :, 0])   # [B,G,4]
+                cls = contrastive_assign(hg[:, :, 0], text, text_token_mask)
+                kpt_dxy = self.pose_embed(hg[:, :, 1:])
+                xy = jax.nn.sigmoid(rg[:, :, 1:, :2] + kpt_dxy)   # [B,G,nb,2]
+                v = jnp.full((B, G, nb, 1), jax.nn.sigmoid(1.0))
+                # xyxy...zz ordering (keypoint_xyzxyz_to_xyxyzz)
+                kp = jnp.concatenate(
+                    [xy.reshape(B, G, nb * 2), v.reshape(B, G, nb)], axis=-1)
+            out_classes.append(cls.astype(jnp.float32))
+            out_coords.append(coord.astype(jnp.float32))
+            out_keypoints.append(kp.astype(jnp.float32))
+
+        return {
+            "pred_logits": out_classes[-1],       # [B, G, P_obj]
+            "pred_boxes": out_coords[-1],         # [B, G, 4]
+            "pred_keypoints": out_keypoints[-1],  # [B, G, nb*3] xy..v
+            "all_logits": out_classes,
+            "all_boxes": out_coords,
+            "all_keypoints": out_keypoints,
+            "enc_logits": enc_class.astype(jnp.float32),
+            "enc_boxes": jax.nn.sigmoid(enc_coord).astype(jnp.float32),
+            "text_query_masks": obj_query_masks,
+        }
