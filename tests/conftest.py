@@ -1,13 +1,24 @@
 """Test config: run everything on CPU with 8 virtual devices so that
 multi-chip sharding logic is exercised without TPU hardware (the TPU
-analog of a fake backend — see SURVEY.md §4)."""
+analog of a fake backend — see SURVEY.md §4).
+
+Note: the environment's sitecustomize imports jax at interpreter start
+and pins JAX_PLATFORMS=axon (the TPU tunnel), so mutating os.environ
+here is too late — we must go through jax.config, which wins as long as
+no backend has been initialized yet (it hasn't at conftest time).
+"""
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+# Parity tests compare fp32 against torch-CPU references; make XLA use
+# true fp32 matmuls (the default "bfloat16_3x"-style passes lose ~1e-3).
+jax.config.update("jax_default_matmul_precision", "highest")

@@ -115,7 +115,10 @@ class SwinBlock(nn.Module):
         pad_h = (w - H % w) % w
         pad_w = (w - W % w) % w
         PH, PW = H + pad_h, W + pad_w
-        shift = self.shift if (PH > w or PW > w) else 0
+        # always_partition=True semantics (HF modeling_swin.py:1242, the
+        # backbone path the reference uses): shift is applied regardless
+        # of grid size; small grids are padded, never window-shrunk.
+        shift = self.shift
 
         shortcut = x
         xs = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,

@@ -112,6 +112,8 @@ def compact_masked_rows(
     second return is the valid-slot mask [B, out_len]."""
     B, L, Cdim = x.shape
     order = jnp.argsort(~mask, axis=1, stable=True)        # True rows first
+    if out_len > L:       # short sequences: surplus slots read row 0 and
+        order = jnp.pad(order, ((0, 0), (0, out_len - L)))  # are masked off
     idx = order[:, :out_len]
     rows = jnp.take_along_axis(x, idx[..., None], axis=1)
     counts = jnp.sum(mask, axis=1)

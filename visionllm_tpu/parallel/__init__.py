@@ -1,0 +1,6 @@
+from visionllm_tpu.parallel.mesh import (
+    MeshRules,
+    build_mesh,
+    shard_batch,
+    shard_params,
+)
