@@ -1,0 +1,79 @@
+"""Sharded det training step: runs on the 8-device CPU mesh, checks the
+loss is finite and parameters actually move (end-to-end grad flow through
+LLM → [EMB] routing → grounding-dino → Hungarian losses)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from visionllm_tpu.config import tiny_test_config
+from visionllm_tpu.models.composite import VisionLLMWithTools
+from visionllm_tpu.models.visionllm import SpecialTokenIds
+from visionllm_tpu.parallel.mesh import build_mesh
+from visionllm_tpu.train.train_step import (OptimizerConfig, TrainState,
+                                            build_optimizer,
+                                            make_det_train_step,
+                                            shard_train_step)
+
+CFG = tiny_test_config()
+TID = SpecialTokenIds.synthetic()
+
+
+def _det_batch(B):
+    img_len = CFG.vis_encoder.num_patches
+    ids = ([1, 10, 11] + [TID.imp] * img_len + [12]
+           + [TID.det] + [TID.emb + i for i in range(CFG.num_embs)] + [2])
+    input_ids = jnp.tile(jnp.asarray([ids], jnp.int32), (B, 1))
+    size = CFG.vis_encoder.image_size
+    det = 64
+    N = 3
+    rng = np.random.default_rng(0)
+    return {
+        "input_ids": input_ids,
+        "labels": jnp.where(input_ids >= 10, input_ids, -100),
+        "attn_mask": jnp.ones_like(input_ids),
+        "images": jnp.asarray(rng.standard_normal(
+            (B, size, size, 3), dtype=np.float32)),
+        "images_aug": jnp.asarray(rng.standard_normal(
+            (B, det, det, 3), dtype=np.float32)),
+        "targets": {
+            "labels": jnp.zeros((B, N), jnp.int32),
+            "boxes": jnp.tile(jnp.asarray(
+                [[[0.3, 0.3, 0.2, 0.2], [0.6, 0.6, 0.3, 0.3],
+                  [0.5, 0.5, 0.1, 0.1]]]), (B, 1, 1)),
+            "valid": jnp.asarray([[True, True, False]] * B),
+            "masks": jnp.ones((B, N, det // 4, det // 4), jnp.float32),
+        },
+    }
+
+
+def test_sharded_det_train_step():
+    mesh = build_mesh(n_data=4, n_model=2)
+    model = VisionLLMWithTools(CFG, dtype=jnp.float32,
+                               tool_dtype=jnp.float32)
+    batch = _det_batch(4)
+    params = model.init(jax.random.PRNGKey(0), batch, TID)["params"]
+    tx = build_optimizer(OptimizerConfig(learning_rate=1e-3,
+                                         total_steps=10), params)
+    state = TrainState.create(params, tx)
+    step = make_det_train_step(model, tx, TID)
+
+    with mesh:
+        jitted, state_s, batch_s = shard_train_step(step, mesh, state, batch)
+        new_state, metrics = jitted(state_s, batch_s, jax.random.PRNGKey(1))
+        jax.block_until_ready(new_state.params)
+
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["lm_loss"]))
+    assert np.isfinite(float(metrics["det_loss"]))
+    assert int(new_state.step) == 1
+
+    # parameters moved — check a gdino head and an LLM kernel
+    before = jax.tree_util.tree_leaves(params)
+    after = jax.tree_util.tree_leaves(jax.device_get(new_state.params))
+    moved = sum(
+        float(np.abs(np.asarray(a) - np.asarray(b)).max()) > 0
+        for a, b in zip(after, before))
+    assert moved > len(before) // 2, f"only {moved}/{len(before)} moved"

@@ -1,0 +1,195 @@
+"""Optimizer construction and the sharded training step.
+
+Behavioral reference: visionllmv2/train/visionllmv2_trainer.py:356-455
+(create_optimizer with 6 param groups: ×lr_multiplier for
+backbone/sampling_offsets/reference_points, ×lr_llm_multiplier for
+llm/region_encoder/vl_bridge, weight-decay split by ndim>=2) and the HF
+Trainer/DeepSpeed loop it plugs into.
+
+TPU-native: one pjit'd step over a ("data", "model") mesh — gradients
+are averaged by XLA-inserted reduce-scatter/all-reduce over ICI (the
+NCCL-allreduce equivalent), parameters/optimizer state FSDP-sharded by
+the MeshRules table (ZeRO-equivalent).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from visionllm_tpu.config import VisionLLMConfig
+from visionllm_tpu.models.composite import VisionLLMWithTools
+from visionllm_tpu.models.visionllm import SpecialTokenIds
+from visionllm_tpu.parallel.mesh import MeshRules, shard_batch, shard_params
+from visionllm_tpu.train.losses import detection_loss_with_aux
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerConfig:
+    learning_rate: float = 2e-5
+    lr_multiplier: float = 0.1        # backbone / sampling_offsets / ref pts
+    lr_llm_multiplier: float = 1.0    # llm / region_encoder / vl_bridge
+    weight_decay: float = 0.0
+    betas: Tuple[float, float] = (0.9, 0.999)
+    eps: float = 1e-8
+    max_grad_norm: float = 1.0
+    warmup_steps: int = 0
+    total_steps: int = 10_000
+    schedule: str = "cosine"          # "cosine" | "constant"
+
+
+LOW_LR_PAT = re.compile(
+    r"(backbone|sampling_offsets|reference_points_head|ref_point_head)")
+LLM_LR_PAT = re.compile(r"(core/llm|core/vl_bridge|region_encoder)")
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                    for k in path)
+
+
+def build_optimizer(cfg: OptimizerConfig, params: Any,
+                    frozen: Optional[Callable[[str], bool]] = None
+                    ) -> optax.GradientTransformation:
+    """AdamW with per-group lr multipliers and optional freezing.
+
+    `frozen(path) -> True` marks a parameter as not trainable (the
+    reference freezing matrix, train/train.py:533-558)."""
+    if cfg.schedule == "cosine":
+        # warmup_steps=0 must mean "start at peak", not a zero first step
+        init = cfg.learning_rate if cfg.warmup_steps == 0 else 0.0
+        sched = optax.warmup_cosine_decay_schedule(
+            init, cfg.learning_rate, max(cfg.warmup_steps, 1),
+            max(cfg.total_steps, 2))
+    else:
+        sched = optax.constant_schedule(cfg.learning_rate)
+
+    def group_of(path, leaf) -> str:
+        name = _path_str(path)
+        if frozen is not None and frozen(name):
+            return "frozen"
+        if LOW_LR_PAT.search(name):
+            return "low"
+        if LLM_LR_PAT.search(name):
+            return "llm"
+        return "base"
+
+    labels = jax.tree_util.tree_map_with_path(group_of, params)
+
+    def adamw(mult: float) -> optax.GradientTransformation:
+        return optax.chain(
+            optax.clip_by_global_norm(cfg.max_grad_norm),
+            optax.scale_by_adam(b1=cfg.betas[0], b2=cfg.betas[1],
+                                eps=cfg.eps),
+            optax.add_decayed_weights(
+                cfg.weight_decay,
+                mask=lambda p: jax.tree.map(lambda x: x.ndim >= 2, p)),
+            optax.scale_by_schedule(sched),
+            optax.scale(-mult),
+        )
+
+    return optax.multi_transform(
+        {"base": adamw(1.0), "low": adamw(cfg.lr_multiplier),
+         "llm": adamw(cfg.lr_llm_multiplier),
+         "frozen": optax.set_to_zero()},
+        labels)
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+    @classmethod
+    def create(cls, params, tx):
+        return cls(step=jnp.zeros((), jnp.int32), params=params,
+                   opt_state=tx.init(params))
+
+
+def make_det_train_step(
+    model: VisionLLMWithTools,
+    tx: optax.GradientTransformation,
+    tid: SpecialTokenIds,
+):
+    """Returns step(state, batch, rng) -> (state, metrics) for det/grd/seg
+    batches: LM CE + Hungarian-matched gdino losses (reference call stack
+    SURVEY.md §3.1)."""
+    gcfg = model.cfg.gdino
+
+    def loss_fn(params, batch, rng):
+        out = model.apply({"params": params}, batch, tid,
+                          method=VisionLLMWithTools.forward_det)
+        det = out["det"]
+        det_outputs = {
+            "all_logits": det["all_logits"],
+            "all_boxes": det["all_boxes"],
+            "all_masks": det["all_masks"],
+            "enc_logits": det["enc_logits"],
+            "enc_boxes": det["enc_boxes"],
+            "text_mask": det["text_mask"],
+        }
+        det_total, detail = detection_loss_with_aux(
+            det_outputs, batch["targets"], cfg=gcfg, rng=rng)
+        loss = out["lm_loss"] + det_total
+        metrics = {"loss": loss, "lm_loss": out["lm_loss"],
+                   "det_loss": det_total}
+        metrics.update({k: v for k, v in detail.items()
+                        if not ("aux" in k or "enc" in k)})
+        return loss, metrics
+
+    def step(state: TrainState, batch, rng):
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  opt_state=opt_state)
+        return new_state, metrics
+
+    return step
+
+
+def make_chat_train_step(model: VisionLLMWithTools,
+                         tx: optax.GradientTransformation,
+                         tid: SpecialTokenIds):
+    def loss_fn(params, batch):
+        out = model.apply({"params": params}, batch, tid,
+                          method=VisionLLMWithTools.forward_chat)
+        return out["loss"], {"loss": out["loss"]}
+
+    def step(state: TrainState, batch, rng=None):
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(step=state.step + 1, params=params,
+                             opt_state=opt_state), metrics
+
+    return step
+
+
+def shard_train_step(step_fn, mesh, state: TrainState, batch,
+                     rules: Optional[MeshRules] = None):
+    """jit `step_fn` with FSDP/TP parameter shardings and data-sharded
+    batch; returns (jitted_fn, sharded_state, sharded_batch)."""
+    param_sh = shard_params(state.params, mesh, rules)
+    # optimizer state mirrors the param tree inside mu/nu etc., and the
+    # rule regexes match anywhere in the joined path, so the same table
+    # shards it consistently (ZeRO-style optimizer-state sharding).
+    opt_sh = shard_params(state.opt_state, mesh, rules)
+    state_sh = TrainState(step=NamedSharding(mesh, P()), params=param_sh,
+                          opt_state=opt_sh)
+    batch_sh = shard_batch(batch, mesh)
+    jitted = jax.jit(step_fn,
+                     in_shardings=(state_sh, batch_sh, NamedSharding(mesh, P())),
+                     out_shardings=(state_sh, NamedSharding(mesh, P())))
+    put_state = jax.device_put(state, state_sh)
+    put_batch = jax.device_put(batch, batch_sh)
+    return jitted, put_state, put_batch
