@@ -271,10 +271,10 @@ def tiny_test_config(**overrides: Any) -> VisionLLMConfig:
             num_groups=5, max_obj_patches=8, max_kpt_patches=8),
         use_sd=True,
         sd=SDConfig(llm_hidden_size=64, sd_hidden_size=32, num_queries=7,
-                    num_embs_gen=8, sample_size=8, cross_attention_dim=32),
+                    num_embs_gen=8, sample_size=16, cross_attention_dim=32),
         use_ip2p=True,
         ip2p=IP2PConfig(llm_hidden_size=64, sd_hidden_size=32, num_queries=7,
-                        num_embs_gen=8, sample_size=8, cross_attention_dim=32),
+                        num_embs_gen=8, sample_size=16, cross_attention_dim=32),
         use_region_encoder=True,
         region_encoder=RegionEncoderConfig(
             hidden_dim=16, embed_dim=32, out_dim=64, patch_size=14,

@@ -17,8 +17,11 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from visionllm_tpu import constants as C
 from visionllm_tpu.config import VisionLLMConfig
 from visionllm_tpu.models.grounding_dino.model import GroundingDino
+from visionllm_tpu.models.stable_diffusion.sd_head import (
+    InstructPix2PixWithLLMEmb, StableDiffusionWithLLMEmb)
 from visionllm_tpu.models.unipose.model import UniPose
 from visionllm_tpu.models.visionllm import SpecialTokenIds, VisionLLM
 from visionllm_tpu.train.losses import lm_cross_entropy
@@ -40,6 +43,12 @@ class VisionLLMWithTools(nn.Module):
         if cfg.use_unipose:
             self.unipose = UniPose(cfg.unipose, self.tool_dtype,
                                    name="unipose")
+        if cfg.use_sd:
+            self.sd = StableDiffusionWithLLMEmb(cfg.sd, self.dtype,
+                                                name="sd")
+        if cfg.use_ip2p:
+            self.ip2p = InstructPix2PixWithLLMEmb(cfg.ip2p, self.dtype,
+                                                  name="ip2p")
 
     # ------------------------------------------------------------------
 
@@ -93,6 +102,35 @@ class VisionLLMWithTools(nn.Module):
             batch["images_aug"].astype(self.tool_dtype), obj_q, obj_m,
             kpt_q, kpt_m, pixel_mask=batch.get("pixel_mask"))
         return {"lm_loss": lm_loss, "pose": pose_out}
+
+    def forward_gen(self, batch: Dict[str, Any], tid: SpecialTokenIds,
+                    rng: jnp.ndarray) -> Dict[str, Any]:
+        """[GEN] batches: LM loss + SD ε-prediction loss
+        (reference call stack SURVEY.md §3.5; text2img.py datasets)."""
+        out = self.core(batch["input_ids"], batch.get("images"), tid,
+                        attn_mask=batch.get("attn_mask"))
+        lm_loss = lm_cross_entropy(out["logits"], batch["labels"])
+        embs = self.core.extract_gen_embs(
+            out["hidden"], batch["input_ids"], tid, C.TOOL_GEN)
+        sd_out = self.sd.train_loss(
+            embs, batch["output_images"], rng,
+            caption_embeds=batch.get("caption_embeds"))
+        return {"lm_loss": lm_loss, "sd": sd_out,
+                "loss": lm_loss + sd_out["loss"]}
+
+    def forward_edit(self, batch: Dict[str, Any], tid: SpecialTokenIds,
+                     rng: jnp.ndarray) -> Dict[str, Any]:
+        """[EDIT] batches: LM loss + IP2P ε-prediction loss."""
+        out = self.core(batch["input_ids"], batch.get("images"), tid,
+                        attn_mask=batch.get("attn_mask"))
+        lm_loss = lm_cross_entropy(out["logits"], batch["labels"])
+        embs = self.core.extract_gen_embs(
+            out["hidden"], batch["input_ids"], tid, C.TOOL_EDIT)
+        ip_out = self.ip2p.train_loss(
+            embs, batch["input_images"], batch["output_images"], rng,
+            caption_embeds=batch.get("caption_embeds"))
+        return {"lm_loss": lm_loss, "ip2p": ip_out,
+                "loss": lm_loss + ip_out["loss"]}
 
     # inference entry: single-image det given a ready prompt
     def infer_det(self, input_ids, images, images_aug, tid,

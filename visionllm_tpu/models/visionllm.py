@@ -34,6 +34,7 @@ from visionllm_tpu import constants as C
 from visionllm_tpu.config import VisionLLMConfig
 from visionllm_tpu.models.clip_vit import ClipVisionTower
 from visionllm_tpu.models.llama import KVCache, LlamaModel
+from visionllm_tpu.models.region_encoder import RegionEncoder
 from visionllm_tpu.models.vl_bridge import VLBridge, pixel_shuffle
 
 
@@ -146,6 +147,9 @@ class VisionLLM(nn.Module):
             "emb_embeddings_gen", init, (cfg.num_embs_gen, hid), jnp.float32)
         self.emb_embeddings_edit = self.param(
             "emb_embeddings_edit", init, (cfg.num_embs_gen, hid), jnp.float32)
+        if cfg.use_region_encoder:
+            self.region_encoder = RegionEncoder(
+                cfg.region_encoder, self.dtype, name="region_encoder")
 
     # ------------------------------------------------------------------
     # pieces
@@ -166,6 +170,18 @@ class VisionLLM(nn.Module):
 
     def embed_tokens(self, input_ids: jnp.ndarray) -> jnp.ndarray:
         return self.llm.embed(input_ids)
+
+    def encode_regions(
+        self,
+        images: jnp.ndarray,           # [n_reg, H, W, 3] (image per region)
+        region_masks: jnp.ndarray,     # [n_reg, H, W] binary
+        vit_hs: jnp.ndarray,           # [n_layers+1, N, 1+P, D] from encode_images
+        image_index: jnp.ndarray,      # [n_reg] which image each region is on
+    ) -> jnp.ndarray:
+        """Region features for <region> tokens (reference
+        modeling_visionllmv2.py:608-716: last-3 ViT levels, CLS dropped)."""
+        feats = [vit_hs[lvl][image_index, 1:] for lvl in (-3, -2, -1)]
+        return self.region_encoder(images, region_masks, feats)
 
     def splice_emb_embeddings(
         self,
@@ -237,6 +253,24 @@ class VisionLLM(nn.Module):
         tq = rows.reshape(B, max_patches, cfg.num_embs, Cdim)
         tq_mask = valid.reshape(B, max_patches, cfg.num_embs)[..., 0]
         return tq, tq_mask
+
+    def extract_gen_embs(
+        self,
+        hidden: jnp.ndarray,           # [B, L, C]
+        input_ids: jnp.ndarray,        # [B, L]
+        tid: SpecialTokenIds,
+        tool_code: int,                # C.TOOL_GEN or C.TOOL_EDIT
+    ) -> jnp.ndarray:
+        """Hidden states at the num_embs_gen [EMB] rows after [GEN]/[EDIT]
+        (one trigger per sample — reference modeling_sd.py:123-127) →
+        [B, num_embs_gen, C]."""
+        cfg = self.cfg
+        ctx, _ = tool_context(input_ids, tid)
+        is_emb = ((input_ids >= tid.emb)
+                  & (input_ids < tid.emb + cfg.num_embs))
+        rows, _ = compact_masked_rows(
+            hidden, is_emb & (ctx == tool_code), cfg.num_embs_gen)
+        return rows
 
     def llm_step(
         self,
