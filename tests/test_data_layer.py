@@ -1,0 +1,114 @@
+"""Data layer: synthetic COCO det dataset → collated batch consumable by
+the det train step; conversation templates; image utilities."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tests.mock_tokenizer import MockTokenizer
+from visionllm_tpu.constants import DEFAULT_TOKENS, IGNORE_INDEX
+from visionllm_tpu.data.build import (ConcatDataset, TaskGroupedBatchSampler,
+                                      build_dataset)
+from visionllm_tpu.data.collator import collate
+from visionllm_tpu.data.conversation import get_conv_template
+from visionllm_tpu.data.mm_utils import (dynamic_preprocess, expand2square,
+                                         tokenizer_image_token)
+
+
+@pytest.fixture(scope="module")
+def coco_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("coco")
+    from PIL import Image
+    imgs = []
+    anns = []
+    for i in range(4):
+        name = f"img{i}.jpg"
+        w, h = 64 + 16 * i, 48 + 8 * i
+        Image.new("RGB", (w, h), (i * 10, 100, 50)).save(d / name)
+        imgs.append({"id": i, "file_name": name, "width": w, "height": h})
+        anns.append({"id": 10 * i, "image_id": i, "category_id": 1,
+                     "bbox": [5, 5, 20, 15], "area": 300, "iscrowd": 0,
+                     "segmentation": [[5, 5, 25, 5, 25, 20, 5, 20]]})
+        anns.append({"id": 10 * i + 1, "image_id": i, "category_id": 2,
+                     "bbox": [30, 10, 10, 10], "area": 100, "iscrowd": 0,
+                     "segmentation": [[30, 10, 40, 10, 40, 20, 30, 20]]})
+    ann = {"images": imgs, "annotations": anns,
+           "categories": [{"id": 1, "name": "cat"},
+                          {"id": 2, "name": "dog"}]}
+    with open(d / "ann.json", "w") as f:
+        json.dump(ann, f)
+    return d
+
+
+def test_vicuna_prompt_format():
+    conv = get_conv_template("vicuna_v1")
+    conv.append_message(conv.roles[0], "hello")
+    conv.append_message(conv.roles[1], None)
+    p = conv.get_prompt()
+    assert p.endswith("USER: hello ASSISTANT:")
+    assert p.startswith("A chat between a curious user")
+
+
+def test_tokenizer_image_token():
+    tok = MockTokenizer()
+    ids = tokenizer_image_token("<image>\nwhat is this?", tok)
+    from visionllm_tpu.constants import IMAGE_TOKEN_INDEX
+    assert ids[0] == tok.bos_token_id
+    assert IMAGE_TOKEN_INDEX in ids.tolist()
+
+
+def test_expand2square_and_anyres():
+    img = np.zeros((30, 60, 3), np.uint8)
+    sq = expand2square(img, (255, 0, 0))
+    assert sq.shape == (60, 60, 3)
+    assert (sq[0, 0] == [255, 0, 0]).all()
+    tiles = dynamic_preprocess(np.zeros((100, 300, 3), np.uint8),
+                               image_size=48, max_num=6)
+    assert all(t.shape == (48, 48, 3) for t in tiles)
+    assert len(tiles) >= 2        # tiles + thumbnail
+
+
+def test_det_dataset_and_collator(coco_dir):
+    tok = MockTokenizer()
+    ds = build_dataset(
+        {"type": "coco_det", "ann_file": str(coco_dir / "ann.json"),
+         "img_prefix": str(coco_dir), "with_mask": True,
+         "max_gt_per_img": 8, "image_size": 56},
+        tok)
+    assert len(ds) == 4
+    s = ds[0]
+    # [DET] appears once per class in the answer; labels mask the question
+    det_id = tok.vocab[DEFAULT_TOKENS["det"]]
+    assert (s["input_ids"] == det_id).sum() == 2
+    assert (s["labels"][:10] == IGNORE_INDEX).all()
+    assert s["targets"]["valid"].sum() == 2
+    assert s["targets"]["boxes"].shape == (8, 4)
+    assert s["targets"]["masks"].shape[0] == 8
+    assert 0.0 <= s["targets"]["boxes"][:2].min()
+    assert s["targets"]["boxes"][:2].max() <= 1.0
+    # answer-slot remap consistent with id2index
+    id2index = s["img_metas"]["id2index"]
+    assert set(id2index.keys()) <= {0, 1}
+
+    batch = collate([ds[0], ds[1]])
+    assert batch["input_ids"].shape == batch["labels"].shape
+    assert batch["input_ids"].shape[0] == 2
+    assert batch["images_aug"].ndim == 4
+    assert batch["targets"]["boxes"].shape[0] == 2
+    assert batch["pixel_mask"].dtype == bool
+
+
+def test_task_grouped_sampler(coco_dir):
+    tok = MockTokenizer()
+    det = build_dataset(
+        {"type": "coco_det", "ann_file": str(coco_dir / "ann.json"),
+         "img_prefix": str(coco_dir), "image_size": 56}, tok)
+    ds = ConcatDataset([det, det])
+    sampler = TaskGroupedBatchSampler(ds, batch_size=2, seed=0)
+    batches = list(iter(sampler))
+    assert all(len(b) == 2 for b in batches)
+    # all from the gdino group (single dataset type here)
+    for b in batches:
+        assert all(ds.task_of(i) == "det" for i in b)

@@ -1,0 +1,7 @@
+from visionllm_tpu.data import det_dataset as _det  # registry side effects
+from visionllm_tpu.data import llava_dataset as _llava  # noqa: F401
+from visionllm_tpu.data.build import (build_dataset, build_multi_datasets,
+                                      ConcatDataset,
+                                      TaskGroupedBatchSampler)
+from visionllm_tpu.data.collator import collate
+from visionllm_tpu.data.conversation import conv_templates, get_conv_template

@@ -124,13 +124,15 @@ def tokenizer_image_token(prompt: str, tokenizer,
     def insert_sep(lists, sep):
         out = []
         for x in lists:
-            out.extend([x, [sep] * len(x[:1])])
+            out.extend([x, sep])
         return out[:-1]
 
     input_ids = []
     offset = 0
     if (len(chunks) > 0 and len(chunks[0]) > 0
             and chunks[0][0] == tokenizer.bos_token_id):
+        # every chunk re-tokenizes with a BOS; [offset:] strips it, and the
+        # (offset+1)-long sentinel chunk leaves exactly one sentinel
         offset = 1
         input_ids.append(chunks[0][0])
     for x in insert_sep(chunks, [image_token_index] * (offset + 1)):

@@ -22,6 +22,14 @@ def box_xyxy_to_cxcywh(b: jnp.ndarray) -> jnp.ndarray:
         [(x0 + x1) / 2, (y0 + y1) / 2, x1 - x0, y1 - y0], axis=-1)
 
 
+def box_xyxy_to_cxcywh_np(b):
+    """NumPy host-side variant (data pipeline)."""
+    import numpy as np
+    x0, y0, x1, y1 = np.split(np.asarray(b, np.float32), 4, axis=-1)
+    return np.concatenate(
+        [(x0 + x1) / 2, (y0 + y1) / 2, x1 - x0, y1 - y0], axis=-1)
+
+
 def box_area(b: jnp.ndarray) -> jnp.ndarray:
     return (b[..., 2] - b[..., 0]) * (b[..., 3] - b[..., 1])
 
