@@ -48,6 +48,8 @@ class CocoDetDataset:
         conv_version: str = "vicuna_v1",
         model_max_length: int = 4096,
         seed: int = 0,
+        test_scale=None,
+        buckets=None,
     ):
         self.coco = CocoIndex(ann_file, filter_empty=not test_mode)
         self.img_prefix = img_prefix
@@ -60,6 +62,9 @@ class CocoDetDataset:
         self.image_aspect_ratio = image_aspect_ratio
         self.conv_version = conv_version
         self.model_max_length = model_max_length
+        from visionllm_tpu.data import transforms as _tf
+        self.test_scale = test_scale or _tf.TEST_SCALE
+        self.buckets = buckets or _tf.DEFAULT_BUCKETS
         self.rng = random.Random(seed)
 
     def __len__(self) -> int:
@@ -102,7 +107,8 @@ class CocoDetDataset:
         if self.with_mask:
             sample["masks"] = ann["masks"]
         if self.test_mode:
-            sample = det_test_transform(sample)
+            sample = det_test_transform(sample, self.test_scale,
+                                         self.buckets)
             q_t, a_t = T.DET_QUESTIONS[0], T.DET_YES[0]
         else:
             sample = det_train_transform(sample, self.rng)

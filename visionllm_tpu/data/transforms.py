@@ -157,8 +157,10 @@ def det_train_transform(sample: Dict,
     return pad_to_bucket(sample)
 
 
-def det_test_transform(sample: Dict) -> Dict:
+def det_test_transform(sample: Dict, scale: Tuple[int, int] = TEST_SCALE,
+                       buckets: Sequence[Tuple[int, int]] = DEFAULT_BUCKETS
+                       ) -> Dict:
     """Test pipeline: resize (800, 1333) keep-ratio + normalize + pad."""
-    sample = resize(sample, TEST_SCALE)
+    sample = resize(sample, scale)
     sample = normalize(sample)
-    return pad_to_bucket(sample)
+    return pad_to_bucket(sample, buckets)

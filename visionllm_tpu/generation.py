@@ -133,13 +133,20 @@ def build_generate_fn(
             emb_countdown=countdown, emb_kind=kind, done=done)
 
     def generate(params, input_ids: jnp.ndarray,
-                 images: Optional[jnp.ndarray]) -> Dict[str, Any]:
+                 images: Optional[jnp.ndarray],
+                 first_token: Optional[jnp.ndarray] = None
+                 ) -> Dict[str, Any]:
+        """`first_token` [B] optionally overrides the first sampled token
+        (teacher-forcing a tool trigger, e.g. [GEN] for generation eval)."""
         B, L = input_ids.shape
         cache = KVCache.create(cfg.llm, B, max_len, dtype=model.dtype)
         out = model.apply({"params": params}, input_ids, images, tid,
                           cache=cache)
         logits, cache = out["logits"], out["cache"]
         first = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        if first_token is not None:
+            first = jnp.broadcast_to(
+                jnp.asarray(first_token, jnp.int32), first.shape)
         first_embed = model.apply({"params": params}, first[:, None],
                                   method=VisionLLM.embed_tokens)
 
