@@ -60,13 +60,14 @@ class VisionLLMWithTools(nn.Module):
         loss = lm_cross_entropy(out["logits"], batch["labels"])
         return {"loss": loss, "lm_loss": loss, "logits": out["logits"]}
 
-    def forward_det(self, batch: Dict[str, Any], tid: SpecialTokenIds
-                    ) -> Dict[str, Any]:
+    def forward_det(self, batch: Dict[str, Any], tid: SpecialTokenIds,
+                    dn_rng=None) -> Dict[str, Any]:
         """LLM forward + text-query extraction + grounding-dino forward.
 
         batch: input_ids/labels/attn_mask, images (CLIP pixels NHWC),
         images_aug (det pixels NHWC), pixel_mask, plus det targets
-        handled by the caller's loss.
+        handled by the caller's loss. With `dn_rng`, contrastive
+        denoising queries are built inside gdino from batch["targets"].
         """
         out = self.core(batch["input_ids"], batch.get("images"), tid,
                         attn_mask=batch.get("attn_mask"))
@@ -76,7 +77,9 @@ class VisionLLMWithTools(nn.Module):
         det_out = self.gdino(
             batch["images_aug"].astype(self.tool_dtype),
             tq.astype(self.tool_dtype), tq_mask,
-            pixel_mask=batch.get("pixel_mask"), dn=batch.get("dn"))
+            pixel_mask=batch.get("pixel_mask"), dn=batch.get("dn"),
+            targets=batch.get("targets") if dn_rng is not None else None,
+            dn_rng=dn_rng)
         det_out["text_mask"] = _text_mask(
             tq_mask, self.cfg.gdino.max_text_len)
         return {"lm_loss": lm_loss, "det": det_out}

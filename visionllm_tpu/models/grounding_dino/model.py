@@ -275,7 +275,11 @@ class GroundingDino(nn.Module):
         pixel_mask: Optional[jnp.ndarray] = None,   # [B, H, W] bool
         dn: Optional[Dict[str, jnp.ndarray]] = None,
         # dn: {"query_label": [B,N,C], "query_bbox": [B,N,4] (logit),
-        #      "attn_mask": [N+Q, N+Q] bool True=blocked}
+        #      "attn_mask": [.., N+Q, N+Q] bool True=blocked}
+        targets: Optional[Dict[str, jnp.ndarray]] = None,
+        dn_rng: Optional[jnp.ndarray] = None,
+        # passing (targets, dn_rng) builds CDN queries internally from the
+        # projected text queries (reference forward_train :2952-2957)
     ) -> Dict[str, Any]:
         cfg = self.cfg
         B, H, W, _ = pixel_values.shape
@@ -284,6 +288,17 @@ class GroundingDino(nn.Module):
 
         # text queries: MLP 4096→256 then mean over the num_embs axis
         tq = self.patch2query(text_query).mean(axis=-2)     # [B, P, 256]
+
+        dn_targets = None
+        if dn is None and targets is not None and dn_rng is not None \
+                and cfg.dn_number > 0:
+            from visionllm_tpu.train.cdn import build_cdn_queries
+            dn, dn_targets = build_cdn_queries(
+                dn_rng, targets, tq, text_query_masks,
+                dn_number=cfg.dn_number,
+                label_noise_ratio=cfg.label_noise_ratio,
+                box_noise_scale=cfg.box_noise_scale,
+                num_queries=cfg.num_queries)
         text_token_mask = text_query_masks.astype(bool)
         text_self_attn_mask, text_position_ids = (
             generate_masks_with_text_query_masks(text_query_masks))
@@ -403,7 +418,24 @@ class GroundingDino(nn.Module):
             out_coords.append(coord.astype(jnp.float32))
             out_masks.append(m.astype(jnp.float32))
 
+        # dn_post_process (:2830-2857): split dn slice off the front so
+        # matching outputs keep shape [lvl, B, Q, ...]
+        dn_out = {}
+        if dn is not None:
+            pad = dn["query_label"].shape[1]
+            dn_out = {
+                "dn_all_logits": jnp.stack(
+                    [c[:, :pad] for c in out_classes]),
+                "dn_all_boxes": jnp.stack(
+                    [c[:, :pad] for c in out_coords]),
+                "dn_targets": dn_targets,
+            }
+            out_classes = [c[:, pad:] for c in out_classes]
+            out_coords = [c[:, pad:] for c in out_coords]
+            out_masks = [m[:, pad:] for m in out_masks]
+
         return {
+            **dn_out,
             "logits": out_classes[-1],
             "pred_boxes": out_coords[-1],
             "pred_masks": out_masks[-1],

@@ -219,12 +219,17 @@ class UniPose(nn.Module):
                               name="pose_embed")
         self.pose_hw_embed = MLP(cfg.d_model, 2, 3, self.dtype,
                                  name="pose_hw_embed")
-        # learned keypoint wh priors: 17 base + (num_body_points-17) appended
-        self.hw = self.param("hw", nn.initializers.normal(1.0), (17, 2),
-                             jnp.float32)
-        self.hw_append = self.param(
-            "hw_append", nn.initializers.normal(1.0),
-            (self.cfg.num_body_points - 17, 2), jnp.float32)
+        # learned keypoint wh priors: 17 base + (num_body_points-17)
+        # appended (reference keeps COCO-17 and UniKPT extras separate;
+        # clamp for tiny test geometries with < 17 joints)
+        n_base = min(17, cfg.num_body_points)
+        self.hw = self.param("hw", nn.initializers.normal(1.0),
+                             (n_base, 2), jnp.float32)
+        n_extra = max(0, cfg.num_body_points - 17)
+        self.hw_append = (self.param(
+            "hw_append", nn.initializers.normal(1.0), (n_extra, 2),
+            jnp.float32) if n_extra else
+            jnp.zeros((0, 2), jnp.float32))
 
     def gen_proposals(self, memory, valid_mask, spatial_shapes):
         """Same anchor-proposal scheme as grounding-dino (reference

@@ -124,7 +124,8 @@ def make_det_train_step(
     gcfg = model.cfg.gdino
 
     def loss_fn(params, batch, rng):
-        out = model.apply({"params": params}, batch, tid,
+        rng_dn, rng_loss = jax.random.split(rng)
+        out = model.apply({"params": params}, batch, tid, rng_dn,
                           method=VisionLLMWithTools.forward_det)
         det = out["det"]
         det_outputs = {
@@ -136,7 +137,19 @@ def make_det_train_step(
             "text_mask": det["text_mask"],
         }
         det_total, detail = detection_loss_with_aux(
-            det_outputs, batch["targets"], cfg=gcfg, rng=rng)
+            det_outputs, batch["targets"], cfg=gcfg, rng=rng_loss)
+        if "dn_all_logits" in det and det.get("dn_targets") is not None:
+            from visionllm_tpu.train.cdn import dn_loss
+            n_lvl = det["dn_all_logits"].shape[0]
+            for lvl in range(n_lvl):
+                d = dn_loss(det["dn_all_logits"][lvl],
+                            det["dn_all_boxes"][lvl],
+                            det["dn_targets"], cfg=gcfg,
+                            text_mask=det["text_mask"])
+                for k, v in d.items():
+                    suffix = "" if lvl == n_lvl - 1 else f"_aux{lvl}"
+                    detail[k + suffix] = v
+                    det_total = det_total + v
         loss = out["lm_loss"] + det_total
         metrics = {"loss": loss, "lm_loss": out["lm_loss"],
                    "det_loss": det_total}
@@ -152,6 +165,47 @@ def make_det_train_step(
         new_state = state.replace(step=state.step + 1, params=params,
                                   opt_state=opt_state)
         return new_state, metrics
+
+    return step
+
+
+def make_pose_train_step(
+    model: VisionLLMWithTools,
+    tx: optax.GradientTransformation,
+    tid: SpecialTokenIds,
+    num_obj_patches: int,
+):
+    """Pose batches: LM CE + UniPose Hungarian losses with OKS
+    (reference call stack SURVEY.md §3.4). Targets: labels/boxes/
+    keypoints (xyxy..vv normalized)/area/valid, padded to
+    N ≤ num_groups."""
+    pcfg = model.cfg.unipose
+
+    def loss_fn(params, batch, rng):
+        from visionllm_tpu.train.pose_losses import pose_loss_with_aux
+        out = model.apply({"params": params}, batch, tid, num_obj_patches,
+                          method=VisionLLMWithTools.forward_pose)
+        pose = out["pose"]
+        pose_outputs = {
+            "all_logits": pose["all_logits"],
+            "all_boxes": pose["all_boxes"],
+            "all_keypoints": pose["all_keypoints"],
+        }
+        pose_total, detail = pose_loss_with_aux(
+            pose_outputs, batch["targets"], cfg=pcfg)
+        loss = out["lm_loss"] + pose_total
+        metrics = {"loss": loss, "lm_loss": out["lm_loss"],
+                   "pose_loss": pose_total}
+        metrics.update({k: v for k, v in detail.items() if "aux" not in k})
+        return loss, metrics
+
+    def step(state: TrainState, batch, rng):
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(step=state.step + 1, params=params,
+                             opt_state=opt_state), metrics
 
     return step
 
