@@ -3,14 +3,17 @@
 Measures the production inference path — CLIP-ViT-L/336 vision encode →
 VL bridge → LLM prefill ([EMB] routing) → grounding-dino detection
 (6-enc/6-dec, 900 queries) — on the default JAX device (the real TPU
-chip under the driver). LLM depth is reduced (see _bench_config) so the
-bench stays fast and parameter init fits comfortably; the per-layer cost
-of the LLM is measured separately and scaled to 32 layers in the
+chip under the driver). LLM depth is reduced (see LLM_LAYERS_BENCH); the
+per-layer LLM cost is measured separately and scaled to 32 layers in the
 reported number, so the metric tracks the real 7B-architecture latency.
 
+Timing method: the whole pipeline is iterated ITERS times *inside one
+jit* (lax.scan with a data dependency between iterations), so the
+number reflects device time — the axon relay adds O(10ms) per host
+round trip, which would otherwise swamp per-call measurements.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline compares against bench_baseline.json (written on first run)
-so round-over-round improvements are visible.
+vs_baseline compares against bench_baseline.json (written on first run).
 """
 
 from __future__ import annotations
@@ -19,19 +22,57 @@ import json
 import os
 import time
 
+LLM_LAYERS_BENCH = 4
+LLM_LAYERS_REAL = 32
+DET_SIZE = 512
+N_LO, N_HI = 4, 36
+
+
+def _device_seconds_per_iter(fn, *args):
+    """Device seconds per invocation of `fn`, with host/relay round-trip
+    overhead fitted out: run the pipeline n times inside ONE compiled
+    while_loop (runtime trip count → single compile), at two trip
+    counts, and take the slope (T_hi − T_lo) / (n_hi − n_lo)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    def chained(n, args):
+        def cond(state):
+            return state[0] < n
+
+        def body(state):
+            i, c = state
+            out = fn(*args, c)
+            # fold a scalar of the output back in → true data dependency
+            return i + 1, jnp.sum(out).astype(jnp.float32) * 1e-12
+
+        return jax.lax.while_loop(cond, body, (jnp.int32(0),
+                                               jnp.float32(0)))[1]
+
+    jitted = jax.jit(chained)
+    _ = np.asarray(jitted(N_LO, args))    # compile + warm
+
+    def run(n):
+        t0 = time.perf_counter()
+        _ = np.asarray(jitted(n, args))   # host transfer = real sync
+        return time.perf_counter() - t0
+
+    run(N_LO)                              # second warm-up round trip
+    t_lo = min(run(N_LO) for _ in range(2))
+    t_hi = min(run(N_HI) for _ in range(2))
+    return max((t_hi - t_lo) / (N_HI - N_LO), 1e-9)
+
 
 def main():
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from visionllm_tpu.config import (GDinoConfig, LLMConfig,
                                       VisionEncoderConfig, VisionLLMConfig)
     from visionllm_tpu.models.composite import VisionLLMWithTools
     from visionllm_tpu.models.visionllm import SpecialTokenIds
-
-    LLM_LAYERS_BENCH = 4
-    LLM_LAYERS_REAL = 32
-    DET_SIZE = 512
 
     cfg = VisionLLMConfig(
         vis_encoder=VisionEncoderConfig(),              # full CLIP-L/336
@@ -51,41 +92,34 @@ def main():
     images = jnp.ones((1, size, size, 3), jnp.bfloat16) * 0.1
     images_aug = jnp.ones((1, DET_SIZE, DET_SIZE, 3), jnp.bfloat16) * 0.1
 
-    init = jax.jit(lambda r: model.init(
+    params = jax.jit(lambda r: model.init(
         r, input_ids, images, images_aug, tid,
-        method=VisionLLMWithTools.infer_det))
-    params = init(jax.random.PRNGKey(0))["params"]
+        method=VisionLLMWithTools.infer_det))(jax.random.PRNGKey(0))["params"]
 
-    fwd = jax.jit(lambda p, i, im, ia: model.apply(
-        {"params": p}, i, im, ia, tid,
-        method=VisionLLMWithTools.infer_det))
+    def e2e(params, input_ids, images, images_aug, eps):
+        out = model.apply(
+            {"params": params}, input_ids,
+            images + eps.astype(images.dtype),
+            images_aug + eps.astype(images_aug.dtype), tid,
+            method=VisionLLMWithTools.infer_det)
+        return out["logits"]
 
-    out = fwd(params, input_ids, images, images_aug)    # compile
-    jax.block_until_ready(out)
+    t_e2e = _device_seconds_per_iter(
+        e2e, params, input_ids, images, images_aug)
 
-    def timed(fn, iters=20):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn()
-        jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / iters
+    def core_only(params, input_ids, images, eps):
+        out = model.apply(
+            {"params": params}, input_ids,
+            images + eps.astype(images.dtype), tid, compute_logits=False,
+            method=lambda m, i, im, t, **kw: m.core(i, im, t, **kw))
+        return out["hidden"]
 
-    t_e2e = timed(lambda: fwd(params, input_ids, images, images_aug))
+    t_core = _device_seconds_per_iter(core_only, params, input_ids, images)
 
-    # isolate LLM per-layer cost to extrapolate to the 32-layer model
-    llm_fwd = jax.jit(lambda p: model.apply(
-        {"params": p}, input_ids, images, tid,
-        method=lambda m, i, im, t: m.core(i, im, t, compute_logits=False)
-    )["hidden"])
-    out = llm_fwd(params)
-    jax.block_until_ready(out)
-    t_core = timed(lambda: llm_fwd(params))
-
-    # core = vision + bridge + LLM(bench layers); per-layer LLM cost is
-    # bounded by t_core / bench_layers (vision tower amortizes to ~0)
-    t_llm_extra = (t_core / LLM_LAYERS_BENCH) * (
+    # per-layer LLM cost bounded by t_core / bench layers (vision tower
+    # amortizes); extrapolate to the full 32-layer decoder
+    t_full = t_e2e + (t_core / LLM_LAYERS_BENCH) * (
         LLM_LAYERS_REAL - LLM_LAYERS_BENCH)
-    t_full = t_e2e + t_llm_extra
     images_per_sec = 1.0 / t_full
 
     baseline_path = os.path.join(os.path.dirname(__file__),

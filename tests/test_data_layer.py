@@ -112,3 +112,66 @@ def test_task_grouped_sampler(coco_dir):
     # all from the gdino group (single dataset type here)
     for b in batches:
         assert all(ds.task_of(i) == "det" for i in b)
+
+
+def test_grd_pose_interactive_datasets(coco_dir):
+    """The new dataset families produce model-ready fixed-shape samples."""
+    import json as _json
+    tok = MockTokenizer()
+    # add expressions + keypoints to the synthetic annotations
+    with open(coco_dir / "ann.json") as f:
+        ann = _json.load(f)
+    K = 17
+    for a in ann["annotations"]:
+        a["expressions"] = ["the left thing"]
+        kp = []
+        for k in range(K):
+            kp += [10 + k, 12 + (k % 5), 2]
+        a["keypoints"] = kp
+        a["num_keypoints"] = K
+    with open(coco_dir / "ann_ext.json", "w") as f:
+        _json.dump(ann, f)
+
+    from visionllm_tpu.data.grd_dataset import RefCocoGrdDataset
+    grd = RefCocoGrdDataset(str(coco_dir / "ann_ext.json"), str(coco_dir),
+                            tok, with_mask=True, image_size=56)
+    s = grd[0]
+    det_id = tok.vocab[DEFAULT_TOKENS["grd"]]
+    assert (s["input_ids"] == det_id).sum() == 1
+    assert s["targets"]["boxes"].shape == (1, 4)
+
+    from visionllm_tpu.data.pose_dataset import CocoPoseDataset
+    pose = CocoPoseDataset(str(coco_dir / "ann_ext.json"), str(coco_dir),
+                           tok, num_body_points=68, max_gt_per_img=4,
+                           image_size=56)
+    s = pose[0]
+    pose_id = tok.vocab[DEFAULT_TOKENS["pose"]]
+    assert (s["input_ids"] == pose_id).sum() == K
+    assert s["targets"]["keypoints"].shape == (4, 68 * 3)
+    assert s["targets"]["valid"].sum() >= 1
+    # kpt_id2index covers all K classes
+    assert len(s["img_metas"]["kpt_id2index"]) == K
+
+    from visionllm_tpu.data.interactive_dataset import CocoInteractiveDataset
+    inter = CocoInteractiveDataset(str(coco_dir / "ann_ext.json"),
+                                   str(coco_dir), tok, max_regions=4,
+                                   image_size=56)
+    s = inter[0]
+    assert s["regions"].shape == (4, 56, 56)
+    assert s["num_regions"] == 2
+    reg_id = tok.vocab[DEFAULT_TOKENS["reg"]]
+    assert (s["input_ids"] == reg_id).sum() == 2
+
+
+def test_visual_sampler():
+    from visionllm_tpu.data.visual_sampler import GENERATORS, ShapeSampler
+    import random as _random
+    mask = np.zeros((40, 40), np.uint8)
+    mask[10:30, 12:28] = 1
+    rng = _random.Random(0)
+    for name, gen in GENERATORS.items():
+        out = gen(mask, rng)
+        assert out.shape == mask.shape, name
+        assert out.sum() > 0, name
+    sampler = ShapeSampler(seed=0)
+    assert sampler(mask).sum() > 0

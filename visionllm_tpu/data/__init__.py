@@ -1,5 +1,9 @@
 from visionllm_tpu.data import det_dataset as _det  # registry side effects
 from visionllm_tpu.data import llava_dataset as _llava  # noqa: F401
+from visionllm_tpu.data import grd_dataset as _grd  # noqa: F401
+from visionllm_tpu.data import pose_dataset as _pose  # noqa: F401
+from visionllm_tpu.data import gen_dataset as _gen  # noqa: F401
+from visionllm_tpu.data import interactive_dataset as _inter  # noqa: F401
 from visionllm_tpu.data.build import (build_dataset, build_multi_datasets,
                                       ConcatDataset,
                                       TaskGroupedBatchSampler)

@@ -75,17 +75,78 @@ def pose_answer_tokens(num_embs: int) -> str:
         f"[EMB{i}]" for i in range(2, num_embs + 1))
 
 
+# grounding templates (refcoco_llava.py:30-77; test mode uses index 0)
 GRD_QUESTIONS = [
-    "Where is \"<expr>\"?",
-    "Can you locate \"<expr>\" in the image?",
-    "Please find \"<expr>\" in the image.",
-    "Where can I see \"<expr>\" in this image?",
+    "Where can we locate the <expression> in the image?",
+    "Do you know where the <expression> is within the image?",
+    "Have you seen the <expression> in this image? Where is it?",
+    "Could you tell me where the <expression> is in the image?",
+    "Whereabouts in the image can we find the <expression>?",
+    "Do you have any idea where the <expression> might be in this image?",
+    "Are you aware of the <expression>'s position within the image?",
+    "Where in the image should we be looking for the <expression>?",
+    "Is it possible to identify the <expression>'s location in this image?",
+    "Have you figured out where the <expression> is in this image?",
+    "Could you provide guidance on finding the <expression> in the image?",
+    "Do you know where I can locate the <expression> in the picture?",
+    "Can you tell me the precise location of the <expression> in the image?",
+    "Would you be able to point out the <expression> within the image?",
+    "Are you able to discern the <expression> in the image?",
+    "Please help me locate the <expression> in the image.",
+    "Please find the object indicated by the expression <expression> in the image.",
+    "Please assist in identifying the <expression> within the image.",
+    "Please determine the exact position of the <expression> in the image.",
+    "Please ascertain the whereabouts of the <expression> in this image.",
+    "Please assist me in locating the <expression> within the image.",
+    "Please take a moment to find the object denoted by the expression <expression> in the image.",
+    "Please help us identify the precise location of the <expression> in this image.",
+    "Please provide your guidance in finding and marking the <expression> within the image.",
+    "Please make it a priority to discover and highlight the <expression> within the image.",
+    "Let's determine the specific area where the <expression> is situated in the image.",
+    "We're aiming to establish the spatial coordinates of the <expression> in this image.",
+    "We need to establish the exact whereabouts of the <expression> within the image.",
+    "We are actively engaged in the process of locating the <expression> in the image.",
+    "Let's find the <expression> within the image.",
 ]
 
-GRD_ANSWERS = [
-    "Sure, it is at <class>.",
-    "It is located at <class>.",
-    "Here: <class>.",
+GRD_YES = [
+    "Yes, it is <expression>.",
+    "Certainly, it is <expression>.",
+    "Absolutely, it is <expression>.",
+    "Yes, it is <expression>.",
+    "Affirmative, it is <expression>.",
+    "Sure, it is <expression>.",
+    "Of course, it is <expression>.",
+    "Without question, it is <expression>.",
+    "Certainly, it is <expression>.",
+    "Absolutely, it is <expression>.",
+]
+
+# pose templates (unikpt_llava.py:60-99; test mode uses index 0)
+POSE_QUESTIONS = [
+    "Can you examine the image and pinpoint the keypoint locations of the <class>?",
+    "Could you analyze the picture and determine the keypoint placement of the <class>?",
+    "Please inspect the image and locate the keypoints for <class>.",
+    "Can you evaluate the photo and identify where the keypoints of <class> are situated?",
+    "Look at the image and detect the keypoint positions of the <class>.",
+    "Please analyze this image and find the keypoints of <class>.",
+    "Can you check the image and show me where the keypoints of <class> are located?",
+    "Please find the exact keypoint position of the <class>.",
+    "Please observe the photo and identify the keypoint locations of the <class>.",
+    "Can you review the image and point out the keypoints of <class>?",
+]
+
+POSE_ANS = [
+    "Utilizing keypoints detection, the image analysis reveals the location of <class>.",
+    "By focusing on keypoints in the image, you can accurately detect the position of <class>.",
+    "The keypoints in the image indicate the precise location of <class>.",
+    "Through detailed keypoints analysis, the exact position of <class> in the photo can be identified.",
+    "KeyPoints detection techniques allow for the pinpointing of <class> in the image.",
+    "In this image, the keypoints clearly show where the <class> is located.",
+    "The image, when scanned for keypoints, reveals the specific location of <class>.",
+    "By examining the keypoints, the <class> position in the image becomes evident.",
+    "The location of <class> can be determined by analyzing the keypoints in this picture.",
+    "KeyPoints detection in the image helps to accurately spot the <class>.",
 ]
 
 GEN_ANSWER = "[GEN]" + "[EMB]"

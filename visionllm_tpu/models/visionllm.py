@@ -132,8 +132,13 @@ class VisionLLM(nn.Module):
 
     def setup(self):
         cfg = self.cfg
-        self.vis_encoder = ClipVisionTower(cfg.vis_encoder, self.dtype,
-                                           name="vis_encoder")
+        if cfg.vis_encoder.arch == "intern_vit":
+            from visionllm_tpu.models.intern_vit import InternVisionTower
+            self.vis_encoder = InternVisionTower(cfg.vis_encoder, self.dtype,
+                                                 name="vis_encoder")
+        else:
+            self.vis_encoder = ClipVisionTower(cfg.vis_encoder, self.dtype,
+                                               name="vis_encoder")
         self.vl_bridge = VLBridge(cfg.vl_bridge_type, cfg.llm.hidden_size,
                                   self.dtype, name="vl_bridge")
         self.llm = LlamaModel(cfg.llm, self.dtype, name="llm")

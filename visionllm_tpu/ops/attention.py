@@ -49,12 +49,16 @@ def _einsum_attention(
 
 
 def _flash_ok(q, k) -> bool:
-    """Whether the Pallas flash kernel applies: TPU backend, block-aligned
-    lengths, and supported head dim."""
+    """Whether the Pallas flash kernel applies: TPU backend, big-enough
+    problem, and a head dim the kernel tiles well."""
     if jax.default_backend() not in ("tpu",):
         return False
     Lq, Lk, D = q.shape[1], k.shape[1], q.shape[3]
-    return Lq >= 128 and Lq % 128 == 0 and Lk % 128 == 0 and D % 128 == 0
+    return Lq >= 128 and Lk >= 128 and D % 64 == 0
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
 
 
 def multi_head_attention(
@@ -71,13 +75,36 @@ def multi_head_attention(
     `mask` is a boolean attend-mask broadcastable to [B, H, Lq, Lk]; if
     `causal` is set and mask is None the causal structure is handled by
     the kernel (flash path) or built inline (einsum path).
+
+    Flash path: lengths are padded up to 128-multiples. Causal
+    self-attention pads at the END, which is exact (later pad keys are
+    causally invisible to valid queries); the non-causal path segments
+    valid vs pad tokens so pad keys never contribute.
     """
     scale = q.shape[-1] ** -0.5
     if mask is None and _flash_ok(q, k):
         from jax.experimental.pallas.ops.tpu import flash_attention as fa
+        B, Lq, H, D = q.shape
+        Lk = k.shape[1]
+        Lq_p, Lk_p = _round_up(Lq, 128), _round_up(Lk, 128)
+        pq, pk = Lq_p - Lq, Lk_p - Lk
+        if pq or pk:
+            q = jnp.pad(q, ((0, 0), (0, pq), (0, 0), (0, 0)))
+            k = jnp.pad(k, ((0, 0), (0, pk), (0, 0), (0, 0)))
+            v = jnp.pad(v, ((0, 0), (0, pk), (0, 0), (0, 0)))
         seg = None
         if segment_ids is not None:
-            seg = fa.SegmentIds(q=segment_ids, kv=segment_ids)
+            sq = jnp.pad(segment_ids, ((0, 0), (0, pq)),
+                         constant_values=-1)
+            sk = jnp.pad(segment_ids, ((0, 0), (0, pk)),
+                         constant_values=-1)
+            seg = fa.SegmentIds(q=sq, kv=sk)
+        elif not causal and (pq or pk):
+            # segment out the padding for bidirectional attention
+            sq = (jnp.arange(Lq_p) < Lq).astype(jnp.int32)[None]
+            sk = (jnp.arange(Lk_p) < Lk).astype(jnp.int32)[None]
+            seg = fa.SegmentIds(q=jnp.broadcast_to(sq, (B, Lq_p)),
+                                kv=jnp.broadcast_to(sk, (B, Lk_p)))
         # kernel layout is [B, H, L, D]
         qh = q.transpose(0, 2, 1, 3)
         kh = k.transpose(0, 2, 1, 3)
@@ -88,7 +115,8 @@ def multi_head_attention(
             vh = jnp.repeat(vh, H // H_kv, axis=1)
         out = fa.flash_attention(qh, kh, vh, causal=causal, segment_ids=seg,
                                  sm_scale=scale)
-        return out.transpose(0, 2, 1, 3)
+        out = out.transpose(0, 2, 1, 3)
+        return out[:, :Lq] if pq else out
 
     if causal:
         Lq, Lk = q.shape[1], k.shape[1]

@@ -163,3 +163,176 @@ def torch_state_dict_to_numpy(model) -> Dict[str, Array]:
     """Materialize a torch module's state dict as fp32 numpy."""
     return {k: v.detach().to("cpu").float().numpy()
             for k, v in model.state_dict().items()}
+
+
+# ---------------------------------------------------------------------------
+# composite checkpoint assembly
+# ---------------------------------------------------------------------------
+
+def convert_vl_bridge(sd: Mapping[str, Array],
+                      prefix: str = "vl_bridge.") -> Dict:
+    """torch Sequential Linear/GELU bridge → VLBridge params (Dense
+    modules named by their Sequential index — see models/vl_bridge.py)."""
+    out: Dict = {}
+    i = 0
+    while f"{prefix}{i}.weight" in sd:
+        w = sd[f"{prefix}{i}.weight"]
+        entry = {}
+        if w.ndim == 1:                    # LayerNorm (internvl_mlp)
+            entry = {"scale": np.asarray(w),
+                     "bias": np.asarray(sd[f"{prefix}{i}.bias"])}
+        else:
+            entry = {"kernel": _t(w)}
+            if f"{prefix}{i}.bias" in sd:
+                entry["bias"] = np.asarray(sd[f"{prefix}{i}.bias"])
+        out[str(i)] = entry
+        i += 1
+        while (f"{prefix}{i}.weight" not in sd
+               and i < 32):                # skip activation slots
+            i += 1
+    return out
+
+
+def convert_region_encoder(sd: Mapping[str, Array],
+                           prefix: str = "region_encoder.") -> Dict:
+    """Reference RegionEncoder (region_encoder.py:68-146) → our
+    RegionEncoder params (conv stem indices 0/1/3/4/6 + up_dim)."""
+    p = prefix + "mask_embedding."
+
+    def ln2d(idx):
+        return {"weight": np.asarray(sd[p + f"{idx}.weight"]),
+                "bias": np.asarray(sd[p + f"{idx}.bias"])}
+
+    def conv(idx):
+        return {"kernel": _conv(sd[p + f"{idx}.weight"]),
+                "bias": np.asarray(sd[p + f"{idx}.bias"])}
+
+    return {
+        "stem_conv0": conv(0),
+        "stem_norm0": ln2d(1),
+        "stem_conv1": conv(3),
+        "stem_norm1": ln2d(4),
+        "stem_conv2": conv(6),
+        "up_dim": {"kernel": _t(sd[prefix + "up_dim.weight"]),
+                   "bias": np.asarray(sd[prefix + "up_dim.bias"])},
+    }
+
+
+def convert_composite_core(sd: Mapping[str, Array], cfg) -> Dict:
+    """Released VisionLLMv2 checkpoint (flat HF state dict) → the `core`
+    (VisionLLM) params subtree. cfg: VisionLLMConfig.
+
+    Key prefixes in the reference checkpoint (modeling_visionllmv2.py
+    attribute names): vis_encoder / vl_bridge / llm / emb_embeddings_* /
+    region_encoder.
+    """
+    out: Dict = {
+        "vis_encoder": convert_clip_vit(
+            sd, cfg.vis_encoder, prefix="vis_encoder.vision_model."),
+        "vl_bridge": convert_vl_bridge(sd),
+        "llm": convert_llama(sd, cfg.llm, prefix="llm.model."),
+    }
+    for name in ("emb_embeddings_det", "emb_embeddings_pose",
+                 "emb_embeddings_gen", "emb_embeddings_edit"):
+        key = f"{name}.weight"
+        if key in sd:
+            out[name] = np.asarray(sd[key])
+    if cfg.use_region_encoder and "region_encoder.up_dim.weight" in sd:
+        out["region_encoder"] = convert_region_encoder(sd)
+    return out
+
+
+def convert_internlm2(sd: Mapping[str, Array], cfg: LLMConfig,
+                      prefix: str = "model.") -> Dict:
+    """InternLM2ForCausalLM state dict → LlamaModel params.
+
+    InternLM2 (visionllmv2/model/internlm2/modeling_internlm2.py) is a
+    LLaMA-family decoder with GQA and a packed `wqkv` projection laid out
+    per kv-head group as [q·ratio, k, v] (:344-357); module names differ
+    (tok_embeddings/attention_norm/ffn_norm/w1/w2/w3/wo/output).
+    """
+    n = cfg.num_layers
+    p = prefix
+    h, h_kv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    ratio = h // h_kv
+
+    def unpack(which: str):
+        outs = []
+        for i in range(n):
+            w = np.asarray(sd[p + f"layers.{i}.attention.wqkv.weight"])
+            w = w.reshape(h_kv, ratio + 2, d, cfg.hidden_size)
+            if which == "q":
+                part = w[:, :ratio].reshape(h * d, cfg.hidden_size)
+            elif which == "k":
+                part = w[:, -2].reshape(h_kv * d, cfg.hidden_size)
+            else:
+                part = w[:, -1].reshape(h_kv * d, cfg.hidden_size)
+            outs.append(_t(part))
+        return np.stack(outs, 0)
+
+    layer = {
+        "q_proj": {"kernel": unpack("q")},
+        "k_proj": {"kernel": unpack("k")},
+        "v_proj": {"kernel": unpack("v")},
+        "o_proj": {"kernel": _stack(
+            sd, p + "layers.{i}.attention.wo.weight", n, _t)},
+        "gate_proj": {"kernel": _stack(
+            sd, p + "layers.{i}.feed_forward.w1.weight", n, _t)},
+        "up_proj": {"kernel": _stack(
+            sd, p + "layers.{i}.feed_forward.w3.weight", n, _t)},
+        "down_proj": {"kernel": _stack(
+            sd, p + "layers.{i}.feed_forward.w2.weight", n, _t)},
+        "input_layernorm": {"weight": _stack(
+            sd, p + "layers.{i}.attention_norm.weight", n, np.asarray)},
+        "post_attention_layernorm": {"weight": _stack(
+            sd, p + "layers.{i}.ffn_norm.weight", n, np.asarray)},
+    }
+    head_prefix = prefix.rsplit("model.", 1)[0]
+    return {
+        "embed_tokens": {"embedding": np.asarray(
+            sd[p + "tok_embeddings.weight"])},
+        "layers": {"layer": layer},
+        "norm": {"weight": np.asarray(sd[p + "norm.weight"])},
+        "lm_head": {"kernel": _t(sd[head_prefix + "output.weight"])},
+    }
+
+
+def convert_intern_vit(sd: Mapping[str, Array], cfg: VisionEncoderConfig,
+                       prefix: str = "") -> Dict:
+    """InternVisionModel state dict → InternVisionTower params."""
+    n = cfg.num_layers
+    p = prefix
+    lp = p + "encoder.layers.{i}."
+
+    def dense(fmt, bias=True):
+        out = {"kernel": _stack(sd, fmt + ".weight", n, _t)}
+        if bias and fmt.format(i=0) + ".bias" in sd:
+            out["bias"] = _stack(sd, fmt + ".bias", n, np.asarray)
+        return out
+
+    def rms(fmt):
+        return {"weight": _stack(sd, fmt + ".weight", n, np.asarray)}
+
+    layer = {
+        "norm1": rms(lp + "norm1"),
+        "norm2": rms(lp + "norm2"),
+        "qkv": dense(lp + "attn.qkv"),
+        "proj": dense(lp + "attn.proj"),
+        "fc1": dense(lp + "mlp.fc1"),
+        "fc2": dense(lp + "mlp.fc2"),
+        "ls1": _stack(sd, lp + "ls1", n, np.asarray),
+        "ls2": _stack(sd, lp + "ls2", n, np.asarray),
+    }
+    if cfg.qk_normalization:
+        layer["q_norm"] = rms(lp + "attn.q_norm")
+        layer["k_norm"] = rms(lp + "attn.k_norm")
+    return {
+        "patch_embedding": {
+            "kernel": _conv(sd[p + "embeddings.patch_embedding.weight"]),
+            "bias": np.asarray(sd[p + "embeddings.patch_embedding.bias"])},
+        "class_embedding": np.asarray(
+            sd[p + "embeddings.class_embedding"]).reshape(1, 1, -1),
+        "position_embedding": np.asarray(
+            sd[p + "embeddings.position_embedding"]),
+        "layers": {"layer": layer},
+    }
