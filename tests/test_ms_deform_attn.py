@@ -126,3 +126,45 @@ def test_grad_value_matches_torch():
     gl_j, gl_t = np.asarray(g_l), tl.grad.numpy()
     close = np.isclose(gl_j, gl_t, rtol=1e-3, atol=1e-3)
     assert close.mean() > 0.99
+
+
+def test_quad_formulation_matches_reference():
+    """ms_deform_attn_quad (the TPU production path) vs the oracle,
+    including out-of-bounds locations and edge cells."""
+    import jax
+    import jax.numpy as jnp
+    from visionllm_tpu.ops.ms_deform_attn import (ms_deform_attn_quad,
+                                                  ms_deform_attn_reference)
+
+    rng = np.random.default_rng(3)
+    shapes = ((12, 16), (6, 8), (3, 4))
+    S = sum(h * w for h, w in shapes)
+    B, H, D, P, Q = 2, 4, 16, 3, 30
+    value = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+    loc = jnp.asarray(rng.uniform(-0.2, 1.2, (B, Q, H, 3, P, 2)),
+                      jnp.float32)
+    w = jnp.asarray(rng.uniform(0, 1, (B, Q, H, 3, P)), jnp.float32)
+    ref = np.asarray(ms_deform_attn_reference(value, shapes, loc, w))
+    got = np.asarray(jax.jit(
+        lambda v, l, a: ms_deform_attn_quad(v, shapes, l, a))(value, loc, w))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_flat_formulation_matches_reference():
+    import jax
+    import jax.numpy as jnp
+    from visionllm_tpu.ops.ms_deform_attn import (ms_deform_attn_flat,
+                                                  ms_deform_attn_reference)
+
+    rng = np.random.default_rng(4)
+    shapes = ((8, 10), (4, 5))
+    S = sum(h * w for h, w in shapes)
+    B, H, D, P, Q = 1, 2, 8, 2, 20
+    value = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+    loc = jnp.asarray(rng.uniform(-0.1, 1.1, (B, Q, H, 2, P, 2)),
+                      jnp.float32)
+    w = jnp.asarray(rng.uniform(0, 1, (B, Q, H, 2, P)), jnp.float32)
+    ref = np.asarray(ms_deform_attn_reference(value, shapes, loc, w))
+    got = np.asarray(jax.jit(
+        lambda v, l, a: ms_deform_attn_flat(v, shapes, l, a))(value, loc, w))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)

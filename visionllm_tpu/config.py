@@ -53,6 +53,9 @@ class LLMConfig:
     rms_norm_eps: float = 1e-5
     rope_theta: float = 10000.0
     max_position_embeddings: int = 4096
+    # LoRA (reference wrap_llm_lora: r=32, alpha=64 on qkvo + MLP)
+    lora_r: int = 0
+    lora_alpha: float = 64.0
 
     @property
     def head_dim(self) -> int:

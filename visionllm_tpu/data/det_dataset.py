@@ -49,6 +49,7 @@ class CocoDetDataset:
         model_max_length: int = 4096,
         seed: int = 0,
         test_scale=None,
+        train_scales=None,
         buckets=None,
     ):
         self.coco = CocoIndex(ann_file, filter_empty=not test_mode)
@@ -64,6 +65,7 @@ class CocoDetDataset:
         self.model_max_length = model_max_length
         from visionllm_tpu.data import transforms as _tf
         self.test_scale = test_scale or _tf.TEST_SCALE
+        self.train_scales = train_scales or _tf.TRAIN_SCALES
         self.buckets = buckets or _tf.DEFAULT_BUCKETS
         self.rng = random.Random(seed)
 
@@ -111,7 +113,8 @@ class CocoDetDataset:
                                          self.buckets)
             q_t, a_t = T.DET_QUESTIONS[0], T.DET_YES[0]
         else:
-            sample = det_train_transform(sample, self.rng)
+            sample = det_train_transform(sample, self.rng,
+                                         self.train_scales, self.buckets)
             q_t = self.rng.choice(T.DET_QUESTIONS)
             a_t = self.rng.choice(T.DET_YES)
 

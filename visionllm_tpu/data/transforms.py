@@ -140,21 +140,24 @@ def pad_to_bucket(sample: Dict,
 
 
 def det_train_transform(sample: Dict,
-                        rng: Optional[random.Random] = None) -> Dict:
+                        rng: Optional[random.Random] = None,
+                        scales: Sequence[Tuple[int, int]] = None,
+                        buckets: Sequence[Tuple[int, int]] = None) -> Dict:
     """The reference's AutoAugment train pipeline: flip → either plain
     multi-scale resize, or resize→crop→resize (coco_llava.py:104-146),
     then normalize + bucket-pad."""
     r = rng or random
+    scales = scales or TRAIN_SCALES
     sample = random_flip(sample, 0.5, r)
-    if r.random() < 0.5:
-        sample = resize(sample, r.choice(TRAIN_SCALES))
+    if r.random() < 0.5 or len(scales) == 1:
+        sample = resize(sample, r.choice(scales))
     else:
         sample = resize(sample, r.choice([(400, 4200), (500, 4200),
                                           (600, 4200)]))
         sample = random_crop(sample, (384, 600), r)
-        sample = resize(sample, r.choice(TRAIN_SCALES))
+        sample = resize(sample, r.choice(scales))
     sample = normalize(sample)
-    return pad_to_bucket(sample)
+    return pad_to_bucket(sample, buckets or DEFAULT_BUCKETS)
 
 
 def det_test_transform(sample: Dict, scale: Tuple[int, int] = TEST_SCALE,

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from visionllm_tpu.ops.ms_deform_attn import ms_deform_attn_reference
+from visionllm_tpu.ops.ms_deform_attn import ms_deform_attn_quad, ms_deform_attn_reference
 
 NEG_INF = float(np.finfo(np.float32).min)
 
@@ -145,7 +145,10 @@ class DeformableAttention(nn.Module):
             loc = (reference_points[:, :, None, :, None, :2]
                    + offsets / P * reference_points[:, :, None, :, None, 2:]
                    * 0.5)
-        out = ms_deform_attn_reference(value, spatial_shapes, loc, attw)
+        if jax.default_backend() == "tpu":
+            out = ms_deform_attn_quad(value, spatial_shapes, loc, attw)
+        else:
+            out = ms_deform_attn_reference(value, spatial_shapes, loc, attw)
         return nn.Dense(self.d_model, dtype=self.dtype,
                         name="output_proj")(out)
 

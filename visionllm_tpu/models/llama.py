@@ -66,8 +66,14 @@ class LlamaDecoderLayer(nn.Module):
         x = RMSNorm(eps=cfg.rms_norm_eps, dtype=self.dtype,
                     name="input_layernorm")(hidden)
 
-        dense = lambda feats, name: nn.Dense(
-            feats, use_bias=False, dtype=self.dtype, name=name)
+        if cfg.lora_r > 0:
+            from visionllm_tpu.models.lora import LoraDense
+            dense = lambda feats, name: LoraDense(
+                feats, cfg.lora_r, cfg.lora_alpha, dtype=self.dtype,
+                name=name)
+        else:
+            dense = lambda feats, name: nn.Dense(
+                feats, use_bias=False, dtype=self.dtype, name=name)
         q = dense(cfg.num_heads * cfg.head_dim, "q_proj")(x)
         k = dense(cfg.num_kv_heads * cfg.head_dim, "k_proj")(x)
         v = dense(cfg.num_kv_heads * cfg.head_dim, "v_proj")(x)
