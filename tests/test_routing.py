@@ -137,3 +137,34 @@ def test_compact_masked_rows_batched():
     np.testing.assert_array_equal(np.asarray(rows[0, 2]), np.asarray(x[0, 4]))
     np.testing.assert_array_equal(np.asarray(rows[1, 0]), np.asarray(x[1, 3]))
     assert (np.asarray(rows[0, 3]) == 0).all()
+
+
+def test_region_prompt_forward():
+    """Regions flow: <region> rows replaced by RegionEncoder features
+    (valid regions compacted in order; empty slots skipped)."""
+    model = VisionLLM(CFG, dtype=jnp.float32)
+    size = CFG.vis_encoder.image_size
+    img_len = CFG.vis_encoder.num_patches
+    ids = ([5, 6] + [TID.imp] * img_len + [7]
+           + [TID.reg, 8, TID.reg] + [9])
+    input_ids = jnp.asarray([ids], jnp.int32)
+    images = jnp.zeros((1, size, size, 3), jnp.float32)
+    regions = np.zeros((1, 3, size, size), np.float32)
+    regions[0, 0, 5:20, 5:20] = 1
+    regions[0, 1, 30:50, 10:40] = 1      # 2 valid, slot 2 empty
+    params = model.init(jax.random.PRNGKey(0), input_ids, images, TID,
+                        regions=jnp.asarray(regions))["params"]
+    out = model.apply({"params": params}, input_ids, images, TID,
+                      regions=jnp.asarray(regions))
+    assert out["logits"].shape[1] == len(ids)
+    assert np.isfinite(np.asarray(out["logits"])).all()
+    # different region masks → different outputs at the <region> rows
+    regions2 = regions.copy()
+    regions2[0, 0] = 0
+    regions2[0, 0, 40:56, 40:56] = 1
+    out2 = model.apply({"params": params}, input_ids, images, TID,
+                       regions=jnp.asarray(regions2))
+    reg_pos = ids.index(TID.reg)
+    d = np.abs(np.asarray(out["hidden"][0, reg_pos])
+               - np.asarray(out2["hidden"][0, reg_pos])).max()
+    assert d > 1e-6

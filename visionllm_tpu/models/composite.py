@@ -54,9 +54,11 @@ class VisionLLMWithTools(nn.Module):
 
     def forward_chat(self, batch: Dict[str, Any], tid: SpecialTokenIds
                      ) -> Dict[str, Any]:
-        """VLM-only loss (chat/VQA/caption batches)."""
+        """VLM-only loss (chat/VQA/caption/region batches; `regions`
+        visual prompts feed the RegionEncoder at <region> tokens)."""
         out = self.core(batch["input_ids"], batch.get("images"), tid,
-                        attn_mask=batch.get("attn_mask"))
+                        attn_mask=batch.get("attn_mask"),
+                        regions=batch.get("regions"))
         loss = lm_cross_entropy(out["logits"], batch["labels"])
         return {"loss": loss, "lm_loss": loss, "logits": out["logits"]}
 

@@ -162,8 +162,15 @@ class VisionLLM(nn.Module):
 
     def encode_images(self, images: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """images [N, H, W, 3] (NHWC, normalized) → (llm-space features
-        [N, img_len, hid], all vit hidden states [n_layers+1, N, 1+P, D])."""
+        [N, img_len, hid], all vit hidden states [n_layers+1, N, 1+P, D]).
+
+        anyres batches arrive as [B, T, H, W, 3] (T tiles per sample,
+        reference mm_utils.py:39-77 tiling) and are flattened to
+        [B·T, ...]; the flattened tile order matches the <im_patch>
+        scatter order."""
         cfg = self.cfg
+        if images.ndim == 5:
+            images = images.reshape(-1, *images.shape[2:])
         hs = self.vis_encoder(images)
         feats = hs[cfg.vis_encoder.output_layer][:, 1:]     # drop CLS
         if cfg.use_pixelshuffle:
@@ -302,10 +309,12 @@ class VisionLLM(nn.Module):
         attn_mask: Optional[jnp.ndarray] = None,   # [B, L]
         positions: Optional[jnp.ndarray] = None,   # [B, L]
         cache: Optional[KVCache] = None,
+        regions: Optional[jnp.ndarray] = None,     # [B, R, H, W] prompt masks
         region_features: Optional[jnp.ndarray] = None,  # [n_reg, C] pre-computed
         compute_logits: bool = True,
     ):
         """Returns dict(hidden, logits, cache, vit_hidden_states)."""
+        cfg = self.cfg
         inputs_embeds = self.embed_tokens(input_ids)
         inputs_embeds = self.splice_emb_embeddings(inputs_embeds, input_ids,
                                                    tid)
@@ -314,6 +323,30 @@ class VisionLLM(nn.Module):
             image_features, vit_hs = self.encode_images(images)
             inputs_embeds = self.scatter_image_features(
                 inputs_embeds, input_ids, image_features, tid.imp)
+        if (regions is not None and cfg.use_region_encoder
+                and vit_hs is not None):
+            # per-sample global image repeated per region slot; invalid
+            # (empty-mask) slots run as dummies and are compacted away so
+            # the <region> scatter order matches the valid regions only
+            # (reference wiring modeling_visionllmv2.py:608-716)
+            B, R = regions.shape[:2]
+            if images.ndim == 5:        # anyres: global image = last tile
+                T = images.shape[1]
+                base = images[:, -1]
+                sample_idx = (jnp.arange(B) + 1) * T - 1
+            else:
+                base = images
+                sample_idx = jnp.arange(B)
+            reg_imgs = jnp.repeat(base, R, axis=0)
+            img_index = jnp.repeat(sample_idx, R)
+            feats = self.encode_regions(
+                reg_imgs, regions.reshape(B * R, *regions.shape[2:]),
+                vit_hs, img_index)                       # [B*R, C]
+            valid = jnp.sum(regions.reshape(B * R, -1), axis=-1) > 0
+            rows, _ = compact_masked_rows(
+                feats[None], valid[None], B * R)
+            inputs_embeds = self.scatter_image_features(
+                inputs_embeds, input_ids, rows[0][:, None, :], tid.reg)
         if region_features is not None:
             # replace <region> rows in flattened order
             inputs_embeds = self.scatter_image_features(
