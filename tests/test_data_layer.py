@@ -175,3 +175,47 @@ def test_visual_sampler():
         assert out.sum() > 0, name
     sampler = ShapeSampler(seed=0)
     assert sampler(mask).sum() > 0
+
+
+def test_mmic_datasets(coco_dir, tmp_path):
+    import json as _json
+    tok = MockTokenizer()
+    rows_text = [{"images": ["img0.jpg", "img1.jpg"],
+                  "conversations": [
+                      {"from": "human",
+                       "value": "<image>\n<image>\nWhich is bigger?"},
+                      {"from": "gpt", "value": "The second one."}]}]
+    p = tmp_path / "ic_text.json"
+    p.write_text(_json.dumps(rows_text))
+    from visionllm_tpu.data.mmic_dataset import (MMICMaskDataset,
+                                                 MMICTextDataset)
+    ds = MMICTextDataset(str(p), str(coco_dir), tok, max_images=4,
+                         image_size=56)
+    s = ds[0]
+    assert s["image"].shape == (4, 56, 56, 3)
+    assert s["num_images"] == 2
+    imp = tok.vocab[DEFAULT_TOKENS["imp"]]
+    assert (s["input_ids"] == imp).sum() == 2 * (56 // 14) ** 2
+
+    rows_mask = [{"support_image": "img0.jpg",
+                  "support_bbox": [5, 5, 20, 15],
+                  "query_image": "img1.jpg",
+                  "query_boxes": [[10, 10, 20, 20]]}]
+    p2 = tmp_path / "ic_mask.json"
+    p2.write_text(_json.dumps(rows_mask))
+    ds2 = MMICMaskDataset(str(p2), str(coco_dir), tok, image_size=56,
+                          train_scales=[(48, 64)], buckets=((64, 64),))
+    s2 = ds2[0]
+    assert s2["image"].shape == (2, 56, 56, 3)
+    assert s2["regions"].shape == (1, 56, 56)
+    assert s2["targets"]["valid"].sum() == 1
+
+
+def test_cli_eval_det(coco_dir, capsys):
+    from visionllm_tpu.cli import main
+    main(["eval-det", "--ann", str(coco_dir / "ann.json"),
+          "--imgs", str(coco_dir), "--tiny", "--limit", "1"])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    import json as _json
+    res = _json.loads(out)
+    assert "bbox_mAP" in res

@@ -84,3 +84,22 @@ def test_intern_image_backbone():
     assert outs[0].shape == (1, 8, 8, 16)
     assert outs[1].shape == (1, 4, 4, 32)
     assert all(np.isfinite(np.asarray(o)).all() for o in outs)
+
+
+def test_gdino_with_intern_image_backbone():
+    """26B-variant wiring: gdino forward with the InternImage backbone."""
+    from visionllm_tpu.config import GDinoConfig
+    from visionllm_tpu.models.grounding_dino.model import GroundingDino
+    cfg = GDinoConfig(backbone="intern_image_tiny", d_model=32,
+                      num_queries=12, encoder_layers=1, decoder_layers=2,
+                      num_heads=4, ffn_dim=64, text_dim=48, mask_dim=32,
+                      dn_number=0)
+    m = GroundingDino(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    px = jnp.asarray(rng.standard_normal((1, 64, 64, 3)), jnp.float32)
+    tq = jnp.asarray(rng.standard_normal((1, 5, 4, 48)), jnp.float32)
+    tqm = jnp.ones((1, 5), bool)
+    params = m.init(jax.random.PRNGKey(0), px, tq, tqm)["params"]
+    out = m.apply({"params": params}, px, tq, tqm)
+    assert out["pred_boxes"].shape == (1, 12, 4)
+    assert np.isfinite(np.asarray(out["logits"])).all()

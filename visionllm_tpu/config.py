@@ -251,6 +251,39 @@ def vllm_7b_config(**overrides: Any) -> VisionLLMConfig:
     return VisionLLMConfig(**base)
 
 
+def vllm_26b_config(**overrides: Any) -> VisionLLMConfig:
+    """The 26B variant: InternViT-6B/448 + InternLM2-20B, pixelshuffle,
+    internvl_mlp bridge, InternImage-H det/pose backbones
+    (scripts/vllmv2_26b/eval/dist_eval_det.sh diff vs 7b)."""
+    base = dict(
+        vis_encoder=VisionEncoderConfig(
+            arch="intern_vit", image_size=448, patch_size=14,
+            hidden_size=3200, intermediate_size=12800, num_layers=48,
+            num_heads=25, layer_norm_eps=1e-6, hidden_act="gelu",
+            qk_normalization=True, use_ls=True, qkv_bias=False,
+            output_layer=-1),
+        llm=LLMConfig(
+            arch="internlm2", vocab_size=92576, hidden_size=6144,
+            intermediate_size=16384, num_layers=48, num_heads=48,
+            num_kv_heads=8, rope_theta=1000000.0,
+            max_position_embeddings=32768),
+        vl_bridge_type="internvl_mlp",
+        use_pixelshuffle=True,
+        use_gdino=True,
+        gdino=GDinoConfig(backbone="intern_image_h", text_dim=6144),
+        use_unipose=True,
+        unipose=UniPoseConfig(backbone="intern_image_h", text_dim=6144),
+        use_sd=True,
+        sd=SDConfig(llm_hidden_size=6144),
+        use_ip2p=True,
+        ip2p=IP2PConfig(llm_hidden_size=6144),
+        use_region_encoder=True,
+        region_encoder=RegionEncoderConfig(embed_dim=3200, out_dim=6144),
+    )
+    base.update(overrides)
+    return VisionLLMConfig(**base)
+
+
 def tiny_test_config(**overrides: Any) -> VisionLLMConfig:
     """A minuscule config for unit tests: full routing, tiny dims."""
     base = dict(

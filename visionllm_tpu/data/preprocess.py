@@ -21,10 +21,11 @@ from visionllm_tpu.data.mm_utils import tokenizer_image_token
 
 def preprocess_multimodal(sources: List[List[Dict]]) -> List[List[Dict]]:
     """Move a stray '<image>' to the front of the first turn (reference
-    llava_data.py:207-230)."""
+    llava_data.py:207-230). Multi-image turns (mmic data) are left in
+    place — the reference's collapse would drop all but one sentinel."""
     for source in sources:
         for sentence in source:
-            if "<image>" in sentence["value"]:
+            if sentence["value"].count("<image>") == 1:
                 v = sentence["value"].replace("<image>", "").strip()
                 if sentence is source[0]:
                     sentence["value"] = "<image>\n" + v

@@ -151,12 +151,24 @@ class GroundingDino(nn.Module):
         cfg = self.cfg
         if cfg.backbone == "swin_tiny":
             swin_cfg = swin_tiny_config(out_stages=(0, 1, 2, 3))
+            self.backbone = SwinBackbone(swin_cfg, self.dtype,
+                                         name="backbone")
         elif cfg.backbone == "swin_large":
             swin_cfg = swin_large_config(out_stages=(0, 1, 2, 3))
+            self.backbone = SwinBackbone(swin_cfg, self.dtype,
+                                         name="backbone")
+        elif cfg.backbone.startswith("intern_image"):
+            from visionllm_tpu.models.intern_image import (
+                InternImage, intern_image_h_config,
+                intern_image_tiny_config)
+            ii_cfg = (intern_image_h_config()
+                      if cfg.backbone == "intern_image_h"
+                      else intern_image_tiny_config(
+                          depths=(1, 1, 1, 1), groups=(2, 2, 4, 4)))
+            self.backbone = InternImage(ii_cfg, self.dtype,
+                                        name="backbone")
         else:
             raise NotImplementedError(cfg.backbone)
-        self.backbone = SwinBackbone(swin_cfg, self.dtype, name="backbone")
-        self._swin_cfg = swin_cfg
 
         # input projections: 1x1 conv + GN for backbone strides 8/16/32,
         # extra 3x3 stride-2 conv from the stride-32 raw feature (:2084-2103)

@@ -162,11 +162,25 @@ class UniPose(nn.Module):
         cfg = self.cfg
         if cfg.backbone == "swin_tiny":
             swin_cfg = swin_tiny_config(out_stages=(1, 2, 3))
+            self.backbone = SwinBackbone(swin_cfg, self.dtype,
+                                         name="backbone")
         elif cfg.backbone == "swin_large":
             swin_cfg = swin_large_config(out_stages=(1, 2, 3))
+            self.backbone = SwinBackbone(swin_cfg, self.dtype,
+                                         name="backbone")
+        elif cfg.backbone.startswith("intern_image"):
+            from visionllm_tpu.models.intern_image import (
+                InternImage, intern_image_h_config,
+                intern_image_tiny_config)
+            ii_cfg = (intern_image_h_config(out_indices=(1, 2, 3))
+                      if cfg.backbone == "intern_image_h"
+                      else intern_image_tiny_config(
+                          depths=(1, 1, 1, 1), groups=(2, 2, 4, 4),
+                          out_indices=(1, 2, 3)))
+            self.backbone = InternImage(ii_cfg, self.dtype,
+                                        name="backbone")
         else:
             raise NotImplementedError(cfg.backbone)
-        self.backbone = SwinBackbone(swin_cfg, self.dtype, name="backbone")
 
         self.projection_llava = MLP(cfg.d_model, cfg.d_model, 3, self.dtype,
                                     name="projection_llava")
