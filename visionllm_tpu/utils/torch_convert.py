@@ -336,3 +336,117 @@ def convert_intern_vit(sd: Mapping[str, Array], cfg: VisionEncoderConfig,
             sd[p + "embeddings.position_embedding"]),
         "layers": {"layer": layer},
     }
+
+
+def load_state_dict_files(path) -> Dict[str, Array]:
+    """Load a checkpoint directory / file into one flat numpy dict.
+
+    Handles HF sharded safetensors (model-*.safetensors + index),
+    single safetensors files, and torch .bin/.pth files.
+    """
+    import glob
+    import os
+    sd: Dict[str, Array] = {}
+    if os.path.isdir(path):
+        files = (sorted(glob.glob(os.path.join(path, "*.safetensors")))
+                 or sorted(glob.glob(os.path.join(path, "*.bin")))
+                 or sorted(glob.glob(os.path.join(path, "*.pth"))))
+    else:
+        files = [path]
+    for f in files:
+        if f.endswith(".safetensors"):
+            from safetensors.numpy import load_file
+            sd.update(load_file(f))
+        else:
+            import torch
+            raw = torch.load(f, map_location="cpu", weights_only=True)
+            raw = raw.get("state_dict", raw) if isinstance(raw, dict) else raw
+            sd.update({k: v.float().numpy() for k, v in raw.items()})
+    return sd
+
+
+def convert_composite(sd: Mapping[str, Array], cfg) -> Dict:
+    """Full released-checkpoint conversion: flat VisionLLMv2 state dict →
+    VisionLLMWithTools params (core + gdino + unipose + sd + ip2p).
+    cfg: VisionLLMConfig."""
+    out: Dict = {"core": convert_composite_core(sd, cfg)}
+    if cfg.use_gdino and any(k.startswith("gdino.") for k in sd):
+        from visionllm_tpu.utils.convert_gdino import convert_gdino
+        out["gdino"] = convert_gdino(sd, cfg.gdino, prefix="gdino.")
+    if cfg.use_unipose and any(k.startswith("unipose.") for k in sd):
+        from visionllm_tpu.utils.convert_unipose import convert_unipose
+        out["unipose"] = convert_unipose(sd, cfg.unipose,
+                                         prefix="unipose.")
+    if cfg.use_sd and any(k.startswith("sd.") for k in sd):
+        from visionllm_tpu.utils.convert_sd import convert_unet, convert_vae
+        from visionllm_tpu.models.stable_diffusion.sd_head import (
+            unet_cfg_for, vae_cfg_for)
+        c = cfg.sd
+        out["sd"] = {
+            "unet": convert_unet(sd, unet_cfg_for(
+                c.sample_size, c.in_channels, c.cross_attention_dim),
+                prefix="sd.sd_unet."),
+            "vae": convert_vae(sd, vae_cfg_for(c.sample_size),
+                               prefix="sd.sd_vae."),
+            "mapper": convert_llm2sd_mapper(sd, prefix="sd."),
+        }
+    if cfg.use_ip2p and any(k.startswith("ip2p.") for k in sd):
+        from visionllm_tpu.utils.convert_sd import convert_unet, convert_vae
+        from visionllm_tpu.models.stable_diffusion.sd_head import (
+            unet_cfg_for, vae_cfg_for)
+        c = cfg.ip2p
+        out["ip2p"] = {
+            "unet": convert_unet(sd, unet_cfg_for(
+                c.sample_size, c.in_channels, c.cross_attention_dim),
+                prefix="ip2p.sd_unet."),
+            "vae": convert_vae(sd, vae_cfg_for(c.sample_size),
+                               prefix="ip2p.sd_vae."),
+            "mapper": convert_llm2sd_mapper(sd, prefix="ip2p."),
+        }
+    return out
+
+
+def convert_llm2sd_mapper(sd: Mapping[str, Array],
+                          prefix: str = "sd.") -> Dict:
+    """emb_proj + llm2sd_mapper (torch nn.Transformer) → LLM2SDMapper
+    params (modeling_sd.py:70-84 naming)."""
+    p = prefix
+
+    def lin(name):
+        return {"kernel": _t(sd[name + ".weight"]),
+                "bias": np.asarray(sd[name + ".bias"])}
+
+    def ln(name):
+        return {"scale": np.asarray(sd[name + ".weight"]),
+                "bias": np.asarray(sd[name + ".bias"])}
+
+    def mha(name):
+        w = np.asarray(sd[name + ".in_proj_weight"])
+        b = np.asarray(sd[name + ".in_proj_bias"])
+        d = w.shape[0] // 3
+        return {"q_proj": {"kernel": _t(w[:d]), "bias": b[:d]},
+                "k_proj": {"kernel": _t(w[d:2 * d]), "bias": b[d:2 * d]},
+                "v_proj": {"kernel": _t(w[2 * d:]), "bias": b[2 * d:]},
+                "out_proj": lin(name + ".out_proj")}
+
+    enc = p + "llm2sd_mapper.encoder.layers.0"
+    dec = p + "llm2sd_mapper.decoder.layers.0"
+    return {
+        "emb_proj_0": lin(p + "emb_proj.0"),
+        "emb_proj_2": lin(p + "emb_proj.2"),
+        "mapper_queries": np.asarray(sd[p + "llm2sd_mapper_queries"]),
+        "encoder_0": {"norm1": ln(enc + ".norm1"),
+                      "self_attn": mha(enc + ".self_attn"),
+                      "norm2": ln(enc + ".norm2"),
+                      "linear1": lin(enc + ".linear1"),
+                      "linear2": lin(enc + ".linear2")},
+        "encoder_norm": ln(p + "llm2sd_mapper.encoder.norm"),
+        "decoder_0": {"norm1": ln(dec + ".norm1"),
+                      "self_attn": mha(dec + ".self_attn"),
+                      "norm_mem": ln(dec + ".norm2"),
+                      "cross_attn": mha(dec + ".multihead_attn"),
+                      "norm2": ln(dec + ".norm3"),
+                      "linear1": lin(dec + ".linear1"),
+                      "linear2": lin(dec + ".linear2")},
+        "decoder_norm": ln(p + "llm2sd_mapper.decoder.norm"),
+    }
