@@ -168,3 +168,25 @@ def test_region_prompt_forward():
     d = np.abs(np.asarray(out["hidden"][0, reg_pos])
                - np.asarray(out2["hidden"][0, reg_pos])).max()
     assert d > 1e-6
+
+
+def test_pixel_shuffle_parity_vs_reference():
+    """pixel_shuffle must match the reference's view/permute sequence
+    (modeling_visionllmv2.py:381-392) — verified against a torch port."""
+    import torch
+    from visionllm_tpu.models.vl_bridge import pixel_shuffle
+
+    def torch_pixel_shuffle(x, scale_factor=0.5):
+        n, w, h, c = x.size()
+        x = x.view(n, w, int(h * scale_factor), int(c / scale_factor))
+        x = x.permute(0, 2, 1, 3).contiguous()
+        x = x.view(n, int(h * scale_factor), int(w * scale_factor),
+                   int(c / (scale_factor * scale_factor)))
+        x = x.permute(0, 2, 1, 3).contiguous()
+        return x
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 8, 8, 16)).astype(np.float32)
+    want = torch_pixel_shuffle(torch.from_numpy(x)).numpy()
+    got = np.asarray(pixel_shuffle(jnp.asarray(x)))
+    np.testing.assert_array_equal(got, want)
