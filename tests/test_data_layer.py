@@ -219,3 +219,26 @@ def test_cli_eval_det(coco_dir, capsys):
     import json as _json
     res = _json.loads(out)
     assert "bbox_mAP" in res
+
+
+def test_semseg_dataset(coco_dir, tmp_path):
+    import json as _json
+    from PIL import Image as PILImage
+    tok = MockTokenizer()
+    label = np.full((48, 64), 255, np.uint8)
+    label[5:20, 5:25] = 0
+    label[30:45, 30:60] = 1
+    PILImage.fromarray(label).save(coco_dir / "label0.png")
+    rows = [{"image": "img0.jpg", "label": "label0.png"}]
+    p = tmp_path / "semseg.json"
+    p.write_text(_json.dumps(rows))
+    from visionllm_tpu.data.semseg_dataset import SemSegDataset
+    ds = SemSegDataset(str(p), str(coco_dir), tok,
+                       class_names=["wall", "sky", "floor"],
+                       max_classes_per_sample=3, image_size=56,
+                       train_scales=[(48, 64)], buckets=((64, 64),))
+    s = ds[0]
+    seg_id = tok.vocab[DEFAULT_TOKENS["seg"]]
+    assert (s["input_ids"] == seg_id).sum() == 3
+    assert s["targets"]["masks"].shape == (3, 16, 16)
+    assert s["targets"]["valid"].sum() == 2   # wall + sky present

@@ -123,3 +123,53 @@ def test_pose_train_forward():
         targets, cfg=cfg.unipose)
     assert np.isfinite(float(total))
     assert "loss_oks" in detail
+
+
+def test_pose_cdn_forward_and_loss():
+    """Pose CDN: dn queries supervise the box layers, are dropped at the
+    expansion, and matching outputs keep their shapes."""
+    cfg = tiny_test_config()
+    tid = SpecialTokenIds.synthetic()
+    model = VisionLLMWithTools(cfg, dtype=jnp.float32,
+                               tool_dtype=jnp.float32)
+    img_len = cfg.vis_encoder.num_patches
+    nb = cfg.unipose.num_body_points
+    ids = ([1, 5] + [tid.imp] * img_len + [6]
+           + [tid.det] + [tid.emb + i for i in range(cfg.num_embs)]
+           + [tid.pose] + [tid.emb + i for i in range(cfg.num_embs)] + [2])
+    B, N = 1, 2
+    input_ids = jnp.asarray([ids], jnp.int32)
+    size = cfg.vis_encoder.image_size
+    rngk = np.random.default_rng(0)
+    txy = rngk.uniform(0.2, 0.8, (B, N, nb * 2)).astype(np.float32)
+    batch = {
+        "input_ids": input_ids,
+        "labels": jnp.where(input_ids >= 5, input_ids, -100),
+        "attn_mask": jnp.ones_like(input_ids),
+        "images": jnp.zeros((B, size, size, 3), jnp.float32),
+        "images_aug": jnp.zeros((B, 64, 64, 3), jnp.float32),
+        "targets": {
+            "labels": jnp.zeros((B, N), jnp.int32),
+            "boxes": jnp.tile(jnp.asarray([[[0.5, 0.5, 0.2, 0.2]] * N]),
+                              (B, 1, 1)),
+            "keypoints": jnp.asarray(np.concatenate(
+                [txy, np.ones((B, N, nb), np.float32)], -1)),
+            "area": jnp.full((B, N), 0.04),
+            "valid": jnp.ones((B, N), bool),
+        },
+    }
+    params = model.init(jax.random.PRNGKey(0), batch, tid, 1,
+                        method=VisionLLMWithTools.forward_pose)["params"]
+    out = model.apply({"params": params}, batch, tid, 1,
+                      jax.random.PRNGKey(1),
+                      method=VisionLLMWithTools.forward_pose)
+    pose = out["pose"]
+    G = cfg.unipose.num_groups
+    # matching outputs unchanged by dn
+    assert pose["pred_boxes"].shape == (B, G, 4)
+    assert len(pose["dn_logits"]) == cfg.unipose.num_box_decoder_layers
+    assert pose["dn_targets"] is not None
+    from visionllm_tpu.train.cdn import dn_loss
+    d = dn_loss(pose["dn_logits"][0], pose["dn_boxes"][0],
+                pose["dn_targets"], cfg=cfg.unipose)
+    assert all(np.isfinite(float(v)) for v in d.values())

@@ -87,7 +87,7 @@ class VisionLLMWithTools(nn.Module):
         return {"lm_loss": lm_loss, "det": det_out}
 
     def forward_pose(self, batch: Dict[str, Any], tid: SpecialTokenIds,
-                     num_obj_patches: int) -> Dict[str, Any]:
+                     num_obj_patches: int, dn_rng=None) -> Dict[str, Any]:
         """LLM forward + obj/kpt query split + unipose forward.
 
         The reference splits emb groups into object vs keypoint queries
@@ -105,7 +105,9 @@ class VisionLLMWithTools(nn.Module):
         kpt_m = tq_mask[:, num_obj_patches:]
         pose_out = self.unipose(
             batch["images_aug"].astype(self.tool_dtype), obj_q, obj_m,
-            kpt_q, kpt_m, pixel_mask=batch.get("pixel_mask"))
+            kpt_q, kpt_m, pixel_mask=batch.get("pixel_mask"),
+            targets=batch.get("targets") if dn_rng is not None else None,
+            dn_rng=dn_rng)
         return {"lm_loss": lm_loss, "pose": pose_out}
 
     def forward_gen(self, batch: Dict[str, Any], tid: SpecialTokenIds,

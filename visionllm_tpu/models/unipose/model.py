@@ -283,6 +283,13 @@ class UniPose(nn.Module):
         kpt_query_masks: jnp.ndarray,       # [B, P_kpt] bool
         pixel_mask: Optional[jnp.ndarray] = None,
         dn: Optional[Dict[str, jnp.ndarray]] = None,
+        targets: Optional[Dict[str, jnp.ndarray]] = None,
+        dn_rng: Optional[jnp.ndarray] = None,
+        # (targets, dn_rng) builds CDN queries from the projected obj
+        # queries, mirroring the gdino path; dn supervises the box-decoder
+        # layers and is dropped at the box->keypoint expansion (the
+        # reference re-threads dn through the pose layers, :3075-3088 —
+        # a deliberate static-shape simplification, see STATUS.md)
     ) -> Dict[str, Any]:
         cfg = self.cfg
         B, H, W, _ = pixel_values.shape
@@ -363,6 +370,14 @@ class UniPose(nn.Module):
         target = jnp.broadcast_to(self.tgt_embed[None].astype(self.dtype),
                                   (B, cfg.num_queries, cfg.d_model))
 
+        dn_targets = None
+        if dn is None and targets is not None and dn_rng is not None \
+                and cfg.dn_number > 0:
+            from visionllm_tpu.train.cdn import build_cdn_queries
+            dn, dn_targets = build_cdn_queries(
+                dn_rng, targets, encoded_text, obj_query_masks,
+                dn_number=cfg.dn_number, num_queries=cfg.num_queries)
+
         self_attn_mask = None
         n_dn = 0
         if dn is not None:
@@ -427,9 +442,7 @@ class UniPose(nn.Module):
                 hidden = jnp.concatenate(
                     [box_out[:, :, None], kpt_out], axis=2
                 ).reshape(B, G * (nb + 1), cfg.d_model)
-                # CDN queries past the expansion (training) are handled by
-                # the pose training wrapper; inference never carries them.
-                assert n_dn == 0, "pose CDN not supported in this path yet"
+                # dn queries are dropped at expansion (see docstring)
                 expanded = True
 
             if lid >= cfg.num_box_decoder_layers:
@@ -451,14 +464,21 @@ class UniPose(nn.Module):
             reference_points = jax.lax.stop_gradient(new_ref)
             all_refs.append(new_ref)
 
-        # output heads (reference :497-624)
+        # output heads (reference :497-624); dn slices split off the
+        # box-layer outputs (dn_post_process :869)
         out_classes, out_coords, out_keypoints = [], [], []
+        dn_logits, dn_boxes = [], []
         for lid, (hs, ref) in enumerate(zip(intermediates, all_refs[:-1])):
             if lid < cfg.num_box_decoder_layers:
                 coord = jax.nn.sigmoid(
                     self.bbox_embed(hs) + inverse_sigmoid(ref))
                 cls = contrastive_assign(hs, text, text_token_mask)
-                kp = jnp.zeros((B, hs.shape[1], nb * 3), jnp.float32)
+                if n_dn:
+                    dn_logits.append(cls[:, :n_dn].astype(jnp.float32))
+                    dn_boxes.append(coord[:, :n_dn].astype(jnp.float32))
+                    cls = cls[:, n_dn:]
+                    coord = coord[:, n_dn:]
+                kp = jnp.zeros((B, cls.shape[1], nb * 3), jnp.float32)
             else:
                 hg = hs.reshape(B, G, nb + 1, cfg.d_model)
                 rg = inverse_sigmoid(ref.reshape(B, G, nb + 1, 4))
@@ -485,4 +505,7 @@ class UniPose(nn.Module):
             "enc_logits": enc_class.astype(jnp.float32),
             "enc_boxes": jax.nn.sigmoid(enc_coord).astype(jnp.float32),
             "text_query_masks": obj_query_masks,
+            "dn_logits": dn_logits,          # per box-layer [B, n_dn, P]
+            "dn_boxes": dn_boxes,
+            "dn_targets": dn_targets,
         }

@@ -182,9 +182,11 @@ def make_pose_train_step(
     pcfg = model.cfg.unipose
 
     def loss_fn(params, batch, rng):
+        from visionllm_tpu.train.cdn import dn_loss
         from visionllm_tpu.train.pose_losses import pose_loss_with_aux
+        rng_dn, _ = jax.random.split(rng)
         out = model.apply({"params": params}, batch, tid, num_obj_patches,
-                          method=VisionLLMWithTools.forward_pose)
+                          rng_dn, method=VisionLLMWithTools.forward_pose)
         pose = out["pose"]
         pose_outputs = {
             "all_logits": pose["all_logits"],
@@ -193,6 +195,13 @@ def make_pose_train_step(
         }
         pose_total, detail = pose_loss_with_aux(
             pose_outputs, batch["targets"], cfg=pcfg)
+        if pose.get("dn_targets") is not None and pose["dn_logits"]:
+            for lvl, (dl, db) in enumerate(zip(pose["dn_logits"],
+                                               pose["dn_boxes"])):
+                d = dn_loss(dl, db, pose["dn_targets"], cfg=pcfg)
+                for k, v in d.items():
+                    detail[f"{k}_l{lvl}"] = v
+                    pose_total = pose_total + v
         loss = out["lm_loss"] + pose_total
         metrics = {"loss": loss, "lm_loss": out["lm_loss"],
                    "pose_loss": pose_total}
