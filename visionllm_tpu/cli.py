@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import sys
 
 
 def _load_model_and_params(args, tiny: bool = False):

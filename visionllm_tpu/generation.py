@@ -19,8 +19,7 @@ fixed buffer so tool decoders can gather their text queries afterwards.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import flax.struct
 import jax

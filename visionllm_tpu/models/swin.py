@@ -21,7 +21,6 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from visionllm_tpu.ops.attention import multi_head_attention  # noqa: F401 (doc)
 
 
 @dataclass(frozen=True)

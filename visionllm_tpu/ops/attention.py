@@ -18,7 +18,6 @@ layout, which keeps the callers free of layout gymnastics.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
