@@ -190,3 +190,26 @@ def test_pixel_shuffle_parity_vs_reference():
     want = torch_pixel_shuffle(torch.from_numpy(x)).numpy()
     got = np.asarray(pixel_shuffle(jnp.asarray(x)))
     np.testing.assert_array_equal(got, want)
+
+
+def test_anyres_multitile_forward():
+    """5D image batches (anyres tiles) flatten through the vision tower
+    and scatter in (sample, tile) order."""
+    model = VisionLLM(CFG, dtype=jnp.float32)
+    size = CFG.vis_encoder.image_size
+    img_len = CFG.vis_encoder.num_patches
+    T = 2
+    ids = [5] + [TID.imp] * (img_len * T) + [7]
+    input_ids = jnp.asarray([ids], jnp.int32)
+    rng = np.random.default_rng(0)
+    tiles = jnp.asarray(rng.standard_normal(
+        (1, T, size, size, 3), dtype=np.float32))
+    params = model.init(jax.random.PRNGKey(0), input_ids, tiles,
+                        TID)["params"]
+    out = model.apply({"params": params}, input_ids, tiles, TID)
+    assert out["hidden"].shape == (1, len(ids), CFG.llm.hidden_size)
+    # flattened 4D equivalent gives identical results
+    out2 = model.apply({"params": params}, input_ids,
+                       tiles.reshape(T, size, size, 3), TID)
+    np.testing.assert_allclose(np.asarray(out["hidden"]),
+                               np.asarray(out2["hidden"]), atol=1e-6)

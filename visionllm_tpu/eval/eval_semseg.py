@@ -76,3 +76,56 @@ def sod_metrics(pred: Sequence[np.ndarray],
         fbetas.append(best)
     return {"MAE": float(np.mean(maes)),
             "maxF": float(np.mean(fbetas))}
+
+
+def evaluate_semseg(model, params, dataset, tid, *, limit=None,
+                    progress: bool = False) -> Dict[str, float]:
+    """Runner: SemSegDataset(test_mode) → mask-query semantic maps →
+    streaming mIoU/aAcc (reference eval/eval_semseg.py flow)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from visionllm_tpu.eval.eval_det import make_det_infer_fn
+
+    K = len(dataset.class_names)
+    infer = make_det_infer_fn(model, tid, num_classes=K,
+                              topk=min(100, K * 4))
+    ev = MIoUEvaluator(K)
+    n = min(len(dataset), limit) if limit else len(dataset)
+    for i in range(n):
+        s = dataset[i]
+        out = jax.device_get(infer(
+            params,
+            jnp.asarray(s["input_ids"])[None],
+            jnp.asarray(s["image"])[None],
+            jnp.asarray(s["image_aug"])[None],
+            jnp.asarray(s["pixel_mask"])[None]))
+        meta = s["img_metas"]
+        # assemble the semantic map from the top-k detections: per class,
+        # max over its detections of (mask logit + log score)
+        h4 = out["mask_logits"].shape[-2:]
+        sem_logits = np.full((K, *h4), -1e4, np.float32)
+        index2id = {v: k for k, v in meta["id2index"].items()}
+        for q in range(out["scores"].shape[1]):
+            cls_slot = int(out["labels"][0, q])
+            cid = index2id.get(cls_slot)
+            if cid is None:
+                continue
+            score = float(out["scores"][0, q])
+            m = np.asarray(out["mask_logits"][0, q], np.float32)
+            sem_logits[cid] = np.maximum(sem_logits[cid],
+                                         m + np.log(max(score, 1e-6)))
+        # upsample the argmax map to the original label size
+        pred4 = sem_logits.argmax(0).astype(np.uint8)
+        oh, ow = meta["ori_shape"]
+        pred = np.asarray(Image.fromarray(pred4).resize(
+            (ow, oh), Image.NEAREST))
+        label = np.asarray(Image.open(os.path.join(
+            dataset.img_prefix, dataset.rows[i]["label"])))
+        ev.update(pred, label)
+        if progress and (i + 1) % 20 == 0:
+            print(f"eval_semseg: {i + 1}/{n}")
+    return ev.summarize()
