@@ -242,3 +242,25 @@ def test_semseg_dataset(coco_dir, tmp_path):
     assert (s["input_ids"] == seg_id).sum() == 3
     assert s["targets"]["masks"].shape == (3, 16, 16)
     assert s["targets"]["valid"].sum() == 2   # wall + sky present
+
+
+def test_preprocess_internlm_masking():
+    """internlm2_chat masking: only assistant response spans supervised."""
+    from visionllm_tpu.data.preprocess import preprocess_internlm
+    tok = MockTokenizer()
+    src = [[{"from": "human", "value": "<image>\nwhat?"},
+            {"from": "gpt", "value": "a cat"},
+            {"from": "human", "value": "sure?"},
+            {"from": "gpt", "value": "yes"}]]
+    out = preprocess_internlm(src, tok, image_token_len=4)
+    ids, labels = out["input_ids"][0], out["labels"][0]
+    assert len(ids) == len(labels)
+    sup = labels != IGNORE_INDEX
+    # some supervision exists, but the prompt prefix is masked
+    assert sup.sum() > 0
+    assert not sup[:5].any()
+    # supervised positions reproduce input ids
+    np.testing.assert_array_equal(ids[sup], labels[sup])
+    # answer tokens are supervised
+    cat_id = tok.vocab.get("cat")
+    assert cat_id is not None and cat_id in ids[sup].tolist()

@@ -31,15 +31,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def build_mesh(
     n_data: Optional[int] = None,
     n_model: int = 1,
+    n_context: int = 1,
     devices: Optional[Sequence[Any]] = None,
 ) -> Mesh:
-    """Mesh with ("data", "model") axes over the available devices."""
+    """Mesh with ("data", "context", "model") axes over the devices.
+
+    "context" (sequence parallelism) is held at 1 for reference parity —
+    the reference has no long-context path (SURVEY.md §5) — but the axis
+    is reserved so ring/blockwise attention can shard over it later
+    without re-plumbing shardings."""
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
-        n_data = len(devices) // n_model
-    assert n_data * n_model == len(devices), (n_data, n_model, len(devices))
-    arr = np.asarray(devices).reshape(n_data, n_model)
-    return Mesh(arr, ("data", "model"))
+        n_data = len(devices) // (n_model * n_context)
+    assert n_data * n_model * n_context == len(devices), (
+        n_data, n_context, n_model, len(devices))
+    arr = np.asarray(devices).reshape(n_data, n_context, n_model)
+    return Mesh(arr, ("data", "context", "model"))
 
 
 @dataclasses.dataclass(frozen=True)

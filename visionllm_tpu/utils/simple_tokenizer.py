@@ -10,7 +10,7 @@ from typing import List
 
 from visionllm_tpu.constants import DEFAULT_TOKENS
 
-SPECIAL = list(DEFAULT_TOKENS.values())
+SPECIAL = list(DEFAULT_TOKENS.values()) + ["<|im_start|>", "<|im_end|>"]
 _PATTERN = re.compile(
     "(" + "|".join(re.escape(s) for s in
                    sorted(SPECIAL, key=len, reverse=True)) + ")")
@@ -38,6 +38,8 @@ class SimpleTokenizer:
         base = 32000
         for i, k in enumerate(order):
             self.vocab[DEFAULT_TOKENS[k]] = base + i
+        self.vocab["<|im_start|>"] = base + len(order)
+        self.vocab["<|im_end|>"] = base + len(order) + 1
         self._next = 4
 
     def _word_id(self, w: str) -> int:
