@@ -55,3 +55,16 @@ def test_choice_extraction():
     rows = [{"prediction": "A", "options": opts, "answer": "a"},
             {"prediction": "a green cone", "options": opts, "answer": "C"}]
     assert choice_accuracy(rows) == 1.0
+
+
+def test_cider_and_bleu():
+    from visionllm_tpu.eval.caption import CiderD, bleu4
+    cands = ["a cat sits on the mat", "a dog runs in the park"]
+    refs = [["a cat sits on the mat", "the cat is on a mat"],
+            ["a dog runs in the park", "a dog running through a park"]]
+    cider = CiderD().compute(cands, refs)
+    assert cider > 3.0                 # perfect first refs → high score
+    wrong = ["completely unrelated words here", "nothing matches at all"]
+    assert CiderD().compute(wrong, refs) < cider * 0.2
+    assert bleu4(cands, refs) > 0.9
+    assert bleu4(wrong, refs) < 0.1

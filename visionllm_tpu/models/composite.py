@@ -139,10 +139,12 @@ class VisionLLMWithTools(nn.Module):
         return {"lm_loss": lm_loss, "ip2p": ip_out,
                 "loss": lm_loss + ip_out["loss"]}
 
-    # inference entry: single-image det given a ready prompt
+    # inference entry: single-image det given a ready prompt; `regions`
+    # carries interactive visual prompts (eval_visual_prompt flow)
     def infer_det(self, input_ids, images, images_aug, tid,
-                  pixel_mask=None):
-        out = self.core(input_ids, images, tid, compute_logits=False)
+                  pixel_mask=None, regions=None):
+        out = self.core(input_ids, images, tid, compute_logits=False,
+                        regions=regions)
         tq, tq_mask = self.core.extract_text_query(
             out["hidden"], input_ids, tid)
         return self.gdino(images_aug.astype(self.tool_dtype),
