@@ -66,3 +66,57 @@ def test_post_process_pose():
                                [0.25 * 200, 0.25 * 100, 1.0])
     np.testing.assert_allclose(out["boxes"][0],
                                [0.4 * 200, 0.4 * 100, 0.6 * 200, 0.6 * 100])
+
+
+def test_evaluate_pose_smoke(tmp_path):
+    """End-to-end pose eval on a synthetic keypoints dataset with the
+    tiny model: finite OKS mAP comes out."""
+    import json
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+    from tests.mock_tokenizer import MockTokenizer
+    from visionllm_tpu.config import tiny_test_config
+    from visionllm_tpu.data.pose_dataset import CocoPoseDataset
+    from visionllm_tpu.eval.eval_pose import evaluate_pose
+    from visionllm_tpu.models.composite import VisionLLMWithTools
+    from visionllm_tpu.models.visionllm import SpecialTokenIds
+
+    from visionllm_tpu.config import tiny_test_config as _tt
+    d = tmp_path
+    imgs, anns = [], []
+    K = _tt().unipose.num_body_points
+    for i in range(2):
+        name = f"img{i}.jpg"
+        Image.new("RGB", (64, 48), (100, 100, 50)).save(d / name)
+        imgs.append({"id": i, "file_name": name, "width": 64, "height": 48})
+        kp = []
+        for k in range(K):
+            kp += [10 + k, 12 + (k % 5), 2]
+        anns.append({"id": i, "image_id": i, "category_id": 1,
+                     "bbox": [5, 5, 30, 30], "area": 900, "iscrowd": 0,
+                     "keypoints": kp, "num_keypoints": K})
+    with open(d / "ann.json", "w") as f:
+        json.dump({"images": imgs, "annotations": anns,
+                   "categories": [{"id": 1, "name": "person"}]}, f)
+
+    cfg = tiny_test_config()
+    tid = SpecialTokenIds.synthetic()
+    tok = MockTokenizer()
+    ds = CocoPoseDataset(str(d / "ann.json"), str(d), tok, test_mode=True,
+                         num_body_points=cfg.unipose.num_body_points,
+                         image_size=cfg.vis_encoder.image_size,
+                         test_scale=(48, 64), buckets=((64, 64),),
+                         keypoint_names=[f"kp{j}" for j in range(
+                             cfg.unipose.num_body_points)])
+    model = VisionLLMWithTools(cfg, dtype=jnp.float32,
+                               tool_dtype=jnp.float32)
+    s = ds[0]
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(s["input_ids"])[None],
+        jnp.asarray(s["image"])[None],
+        jnp.asarray(s["image_aug"])[None], tid, 1,
+        method=VisionLLMWithTools.infer_pose)["params"]
+    res = evaluate_pose(model, params, ds, tid, limit=1, topk=3)
+    assert "AP" in res

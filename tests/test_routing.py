@@ -213,3 +213,32 @@ def test_anyres_multitile_forward():
                        tiles.reshape(T, size, size, 3), TID)
     np.testing.assert_allclose(np.asarray(out["hidden"]),
                                np.asarray(out2["hidden"]), atol=1e-6)
+
+
+def test_ragged_tile_batch_alignment():
+    """Two samples with different real tile counts (padded to T): each
+    sample's <im_patch> rows must read its OWN tiles, not the pad tiles
+    of the previous sample."""
+    model = VisionLLM(CFG, dtype=jnp.float32)
+    size = CFG.vis_encoder.image_size
+    img_len = CFG.vis_encoder.num_patches
+    T = 2
+    # sample 0 uses 1 tile, sample 1 uses 2 tiles; pad to same seq len
+    ids0 = [5] + [TID.imp] * img_len + [7] + [0] * img_len
+    ids1 = [5] + [TID.imp] * (img_len * T) + [7]
+    input_ids = jnp.asarray([ids0, ids1], jnp.int32)
+    rng = np.random.default_rng(0)
+    tiles = np.zeros((2, T, size, size, 3), np.float32)
+    tiles[0, 0] = rng.standard_normal((size, size, 3))
+    tiles[1, 0] = rng.standard_normal((size, size, 3))
+    tiles[1, 1] = rng.standard_normal((size, size, 3))
+    tiles = jnp.asarray(tiles)
+    params = model.init(jax.random.PRNGKey(0), input_ids, tiles,
+                        TID)["params"]
+
+    # the scatter for sample 1's SECOND tile must equal the single-sample
+    # forward on sample 1 alone
+    out_b = model.apply({"params": params}, input_ids, tiles, TID)
+    out_1 = model.apply({"params": params}, input_ids[1:], tiles[1:], TID)
+    np.testing.assert_allclose(np.asarray(out_b["hidden"][1]),
+                               np.asarray(out_1["hidden"][0]), atol=1e-5)

@@ -108,3 +108,49 @@ def pck(dt_kpts: Sequence[np.ndarray], gt_kpts: Sequence[np.ndarray],
         correct += int(((dist < thr * scale) & vis).sum())
         total += int(vis.sum())
     return correct / max(total, 1)
+
+
+def evaluate_pose(model, params, dataset, tid, *, num_obj_patches: int = 1,
+                  topk: int = 20, limit=None,
+                  progress: bool = False) -> Dict[str, float]:
+    """Runner: CocoPoseDataset(test_mode) → UniPose inference → keypoint
+    unshuffle via kpt_id2index → OKS mAP (reference eval flow §3.4)."""
+    import jax
+    import jax.numpy as jnp
+
+    from visionllm_tpu.models.composite import VisionLLMWithTools
+
+    def fn(p, ids, im, ia, pm):
+        return model.apply({"params": p}, ids, im, ia, tid,
+                           num_obj_patches, pixel_mask=pm,
+                           method=VisionLLMWithTools.infer_pose)
+
+    infer = jax.jit(fn)
+    K = len(dataset.kpt_names)
+    ev = OksMAPEvaluator(num_keypoints=K, max_dets=topk)
+    n = min(len(dataset), limit) if limit else len(dataset)
+    for i in range(n):
+        s = dataset[i]
+        out = jax.device_get(infer(
+            params,
+            jnp.asarray(s["input_ids"])[None],
+            jnp.asarray(s["image"])[None],
+            jnp.asarray(s["image_aug"])[None],
+            jnp.asarray(s["pixel_mask"])[None]))
+        meta = s["img_metas"]
+        det = post_process_pose(out["pred_logits"][0], out["pred_boxes"][0],
+                                out["pred_keypoints"][0],
+                                meta["ori_shape"], topk=topk)
+        # unshuffle answer slots back to keypoint-class order
+        kpt_id2index = meta["kpt_id2index"]
+        order = np.asarray([kpt_id2index[c] for c in range(K)])
+        det_k = det["keypoints"][:, order]
+        gt_k, gt_boxes = dataset._keypoints(i)
+        areas = ((gt_boxes[:, 2] - gt_boxes[:, 0])
+                 * (gt_boxes[:, 3] - gt_boxes[:, 1])) if len(gt_boxes) \
+            else np.zeros(0)
+        ev.update({"scores": det["scores"], "keypoints": det_k[:, :K]},
+                  {"keypoints": gt_k, "areas": areas})
+        if progress and (i + 1) % 50 == 0:
+            print(f"eval_pose: {i + 1}/{n}")
+    return ev.summarize()

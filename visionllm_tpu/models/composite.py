@@ -151,6 +151,20 @@ class VisionLLMWithTools(nn.Module):
                           tq.astype(self.tool_dtype), tq_mask,
                           pixel_mask=pixel_mask)
 
+    def infer_pose(self, input_ids, images, images_aug, tid,
+                   num_obj_patches, pixel_mask=None):
+        """Pose inference: prompt carries [DET][EMB..] for objects then
+        [POSE][EMB..] per keypoint class (SURVEY §3.4)."""
+        out = self.core(input_ids, images, tid, compute_logits=False)
+        tq, tq_mask = self.core.extract_text_query(
+            out["hidden"], input_ids, tid)
+        obj_q = tq[:, :num_obj_patches].astype(self.tool_dtype)
+        obj_m = tq_mask[:, :num_obj_patches]
+        kpt_q = tq[:, num_obj_patches:].astype(self.tool_dtype)
+        kpt_m = tq_mask[:, num_obj_patches:]
+        return self.unipose(images_aug.astype(self.tool_dtype), obj_q,
+                            obj_m, kpt_q, kpt_m, pixel_mask=pixel_mask)
+
     def __call__(self, batch: Dict[str, Any], tid: SpecialTokenIds):
         """Default = det path (initializes core + gdino params). Call
         init over each needed method for the full tree."""

@@ -245,6 +245,25 @@ class VisionLLM(nn.Module):
                         inputs_embeds.reshape(-1, Cdim))
         return out.reshape(B, L, Cdim)
 
+    @staticmethod
+    def scatter_image_features_per_sample(
+        inputs_embeds: jnp.ndarray,    # [B, L, C]
+        input_ids: jnp.ndarray,        # [B, L]
+        image_features: jnp.ndarray,   # [B, F, C] per-sample feature rows
+        imp_token_id: int,
+    ) -> jnp.ndarray:
+        """Per-sample variant for padded tile stacks: sample b's k-th
+        <im_patch> reads image_features[b, k]. Required when tile counts
+        are ragged (anyres/mmic) — the global flattened cumsum would pull
+        pad-tile features into later samples."""
+        F = image_features.shape[1]
+        sel = input_ids == imp_token_id
+        src = jnp.clip(jnp.cumsum(sel, axis=1) - 1, 0, F - 1)
+        gathered = jnp.take_along_axis(
+            image_features.astype(inputs_embeds.dtype),
+            src[..., None], axis=1)
+        return jnp.where(sel[..., None], gathered, inputs_embeds)
+
     def extract_text_query(
         self,
         hidden: jnp.ndarray,           # [B, L, C] post-final-norm
@@ -321,8 +340,17 @@ class VisionLLM(nn.Module):
         vit_hs = None
         if images is not None:
             image_features, vit_hs = self.encode_images(images)
-            inputs_embeds = self.scatter_image_features(
-                inputs_embeds, input_ids, image_features, tid.imp)
+            if images.ndim == 5:
+                # padded tile stacks: per-sample scatter so ragged tile
+                # counts can't bleed across samples
+                B_, T_ = images.shape[:2]
+                feats_b = image_features.reshape(
+                    B_, T_ * image_features.shape[1], -1)
+                inputs_embeds = self.scatter_image_features_per_sample(
+                    inputs_embeds, input_ids, feats_b, tid.imp)
+            else:
+                inputs_embeds = self.scatter_image_features(
+                    inputs_embeds, input_ids, image_features, tid.imp)
         if (regions is not None and cfg.use_region_encoder
                 and vit_hs is not None):
             # per-sample global image repeated per region slot; invalid
