@@ -89,3 +89,20 @@ def test_vqa_harness(gen_setup):
         image_size=CFG.vis_encoder.image_size)
     assert len(rows) == 1
     assert "prediction" in rows[0]
+
+
+def test_generate_batched(gen_setup):
+    """Batched decode: per-sample countdowns run independently."""
+    model, params, input_ids, images = gen_setup
+    B = 2
+    ids2 = jnp.tile(input_ids, (B, 1))
+    imgs2 = jnp.tile(images, (B, 1, 1, 1))
+    gen = build_generate_fn(model, TID, max_new_tokens=6, max_len=128)
+    out = gen(params, ids2, imgs2, TID.det)
+    toks = np.asarray(out["out_tokens"])
+    assert toks.shape == (B, 6)
+    for b in range(B):
+        assert toks[b, 0] == TID.det
+        np.testing.assert_array_equal(
+            toks[b, 1:1 + CFG.num_embs],
+            [TID.emb + i for i in range(CFG.num_embs)])
