@@ -77,3 +77,38 @@ def test_sharded_det_train_step():
         float(np.abs(np.asarray(a) - np.asarray(b)).max()) > 0
         for a, b in zip(after, before))
     assert moved > len(before) // 2, f"only {moved}/{len(before)} moved"
+
+
+def test_sharded_chat_train_step():
+    """Chat (VLM-only) step under the same FSDP+TP mesh; checks the LLM
+    tensor-parallel rules compile and the loss decreases over 3 steps."""
+    mesh = build_mesh(n_data=4, n_model=2)
+    model = VisionLLMWithTools(CFG, dtype=jnp.float32,
+                               tool_dtype=jnp.float32)
+    img_len = CFG.vis_encoder.num_patches
+    ids = [1, 10, 11] + [TID.imp] * img_len + [12, 13, 14, 2]
+    input_ids = jnp.tile(jnp.asarray([ids], jnp.int32), (4, 1))
+    size = CFG.vis_encoder.image_size
+    batch = {
+        "input_ids": input_ids,
+        "labels": jnp.where(input_ids >= 10, input_ids, -100),
+        "attn_mask": jnp.ones_like(input_ids),
+        "images": jnp.zeros((4, size, size, 3), jnp.float32),
+    }
+    from visionllm_tpu.models.visionllm import VisionLLM  # noqa: F401
+    params = model.init(jax.random.PRNGKey(0), batch, TID,
+                        method=VisionLLMWithTools.forward_chat)["params"]
+    from visionllm_tpu.train.train_step import make_chat_train_step
+    tx = build_optimizer(OptimizerConfig(learning_rate=5e-3,
+                                         schedule="constant",
+                                         total_steps=10), params)
+    state = TrainState.create(params, tx)
+    step = make_chat_train_step(model, tx, TID)
+    with mesh:
+        jitted, state_s, batch_s = shard_train_step(step, mesh, state, batch)
+        losses = []
+        for i in range(3):
+            state_s, metrics = jitted(state_s, batch_s, jax.random.PRNGKey(i))
+            losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses[0])
+    assert losses[-1] < losses[0]          # same batch → loss must drop
