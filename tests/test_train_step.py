@@ -112,3 +112,51 @@ def test_sharded_chat_train_step():
             losses.append(float(metrics["loss"]))
     assert np.isfinite(losses[0])
     assert losses[-1] < losses[0]          # same batch → loss must drop
+
+
+def test_gen_and_edit_train_steps():
+    """[GEN]/[EDIT] steps: finite losses, SD/IP2P params receive grads."""
+    from visionllm_tpu.train.train_step import make_gen_train_step
+    model = VisionLLMWithTools(CFG, dtype=jnp.float32,
+                               tool_dtype=jnp.float32)
+    ids = ([1, 10] + [TID.gen] + [TID.emb] * CFG.num_embs_gen + [2])
+    input_ids = jnp.asarray([ids], jnp.int32)
+    batch = {
+        "input_ids": input_ids,
+        "labels": jnp.where(input_ids >= 10, input_ids, -100),
+        "attn_mask": jnp.ones_like(input_ids),
+        "output_images": jnp.zeros((1, 32, 32, 3), jnp.float32),
+    }
+    params = model.init(jax.random.PRNGKey(0), batch, TID,
+                        jax.random.PRNGKey(1),
+                        method=VisionLLMWithTools.forward_gen)["params"]
+    tx = build_optimizer(OptimizerConfig(learning_rate=1e-3,
+                                         total_steps=10), params)
+    state = TrainState.create(params, tx)
+    step = make_gen_train_step(model, tx, TID)
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))
+    moved = np.abs(
+        np.asarray(new_state.params["sd"]["mapper"]["emb_proj_0"]["kernel"])
+        - np.asarray(params["sd"]["mapper"]["emb_proj_0"]["kernel"])).max()
+    assert moved > 0
+
+    # edit variant
+    ids_e = ([1, 10] + [TID.edit] + [TID.emb] * CFG.num_embs_gen + [2])
+    input_ids_e = jnp.asarray([ids_e], jnp.int32)
+    batch_e = {
+        "input_ids": input_ids_e,
+        "labels": jnp.where(input_ids_e >= 10, input_ids_e, -100),
+        "attn_mask": jnp.ones_like(input_ids_e),
+        "input_images": jnp.zeros((1, 32, 32, 3), jnp.float32),
+        "output_images": jnp.zeros((1, 32, 32, 3), jnp.float32),
+    }
+    params_e = model.init(jax.random.PRNGKey(0), batch_e, TID,
+                          jax.random.PRNGKey(1),
+                          method=VisionLLMWithTools.forward_edit)["params"]
+    tx_e = build_optimizer(OptimizerConfig(learning_rate=1e-3,
+                                           total_steps=10), params_e)
+    state_e = TrainState.create(params_e, tx_e)
+    step_e = make_gen_train_step(model, tx_e, TID, edit=True)
+    _, metrics_e = step_e(state_e, batch_e, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics_e["loss"]))

@@ -146,7 +146,11 @@ class StableDiffusionWithLLMEmb(nn.Module):
         [B, H, W, 3] in [-1, 1]."""
         cond = self.map_embeddings(gen_embs)
         r_vae, r_noise, r_t = jax.random.split(rng, 3)
-        latents = self.vae.encode(output_images.astype(self.dtype), r_vae)
+        # the reference freezes the VAE (modeling_sd.py:104) — treat the
+        # encode as a fixed feature extractor (also prevents the
+        # reparameterization exp from exploding encoder grads)
+        latents = jax.lax.stop_gradient(
+            self.vae.encode(output_images.astype(self.dtype), r_vae))
         noise = jax.random.normal(r_noise, latents.shape, jnp.float32)
         B = latents.shape[0]
         t = jax.random.randint(r_t, (B,), 0,
@@ -227,10 +231,13 @@ class InstructPix2PixWithLLMEmb(nn.Module):
                    ) -> Dict[str, jnp.ndarray]:
         cond = self.map_embeddings(edit_embs)
         r_vae, r_noise, r_t, r_cfg = jax.random.split(rng, 4)
-        latents = self.vae.encode(output_images.astype(self.dtype), r_vae)
-        img_cond = self.vae.encode(input_images.astype(self.dtype))  # mode
-        # NOTE reference ip2p does NOT rescale image-cond latents? it uses
-        # latent_dist.mode() without scaling_factor — match that:
+        # frozen VAE (modeling_instruct_pix2pix.py:102-104)
+        latents = jax.lax.stop_gradient(
+            self.vae.encode(output_images.astype(self.dtype), r_vae))
+        img_cond = jax.lax.stop_gradient(
+            self.vae.encode(input_images.astype(self.dtype)))
+        # the reference conditions on latent_dist.mode() WITHOUT the
+        # scaling factor (modeling_instruct_pix2pix.py:168) — undo it
         img_cond = img_cond / self.vae.cfg.scaling_factor
         noise = jax.random.normal(r_noise, latents.shape, jnp.float32)
         B = latents.shape[0]

@@ -34,6 +34,7 @@ from visionllm_tpu.train.train_step import (OptimizerConfig, TrainState,
                                             build_optimizer,
                                             make_chat_train_step,
                                             make_det_train_step,
+                                            make_gen_train_step,
                                             make_pose_train_step)
 from visionllm_tpu.utils.checkpoint import (latest_step, restore_checkpoint,
                                             save_checkpoint)
@@ -51,10 +52,12 @@ class TrainConfig:
     num_obj_patches: int = 1          # pose obj/kpt query split
     optimizer: OptimizerConfig = dataclasses.field(
         default_factory=OptimizerConfig)
-    # freezing matrix (reference train.py:533-558)
+    # freezing matrix (reference train.py:533-558; modeling_sd.py:104-106
+    # freezes the SD vae/text-encoder/unet, ip2p keeps its unet trainable)
     freeze_vis_encoder: bool = True
     freeze_llm: bool = False
     freeze_backbone: bool = False
+    freeze_sd_unet: bool = True
 
 
 class MetricLogger:
@@ -83,6 +86,10 @@ def frozen_predicate(tc: TrainConfig, model_cfg: VisionLLMConfig):
         if tc.freeze_llm and path.startswith("core/llm"):
             return True
         if tc.freeze_backbone and "/backbone/" in path:
+            return True
+        if path.startswith(("sd/vae", "ip2p/vae")):
+            return True
+        if tc.freeze_sd_unet and path.startswith("sd/unet"):
             return True
         return False
     return frozen
@@ -124,6 +131,11 @@ class Trainer:
             elif group == "unipose":
                 fn = make_pose_train_step(self.model, self.tx, self.tid,
                                           self.tc.num_obj_patches)
+            elif group == "sd":
+                fn = make_gen_train_step(self.model, self.tx, self.tid)
+            elif group == "ip2p":
+                fn = make_gen_train_step(self.model, self.tx, self.tid,
+                                         edit=True)
             else:
                 fn = make_chat_train_step(self.model, self.tx, self.tid)
             self._steps[group] = fn

@@ -219,6 +219,35 @@ def make_pose_train_step(
     return step
 
 
+def make_gen_train_step(model: VisionLLMWithTools,
+                        tx: optax.GradientTransformation,
+                        tid: SpecialTokenIds, edit: bool = False):
+    """[GEN]/[EDIT] batches: LM CE + diffusion eps-prediction loss
+    (reference call stack SURVEY.md §3.5)."""
+    method = (VisionLLMWithTools.forward_edit if edit
+              else VisionLLMWithTools.forward_gen)
+
+    def loss_fn(params, batch, rng):
+        out = model.apply({"params": params}, batch, tid, rng,
+                          method=method)
+        key = "ip2p" if edit else "sd"
+        metrics = {"loss": out["loss"], "lm_loss": out["lm_loss"],
+                   "image_loss": out[key]["image_loss"]}
+        if "caption_loss" in out[key]:
+            metrics["caption_loss"] = out[key]["caption_loss"]
+        return out["loss"], metrics
+
+    def step(state: TrainState, batch, rng):
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(step=state.step + 1, params=params,
+                             opt_state=opt_state), metrics
+
+    return step
+
+
 def make_chat_train_step(model: VisionLLMWithTools,
                          tx: optax.GradientTransformation,
                          tid: SpecialTokenIds):
