@@ -85,7 +85,6 @@ def build_optimizer(cfg: OptimizerConfig, params: Any,
 
     def adamw(mult: float) -> optax.GradientTransformation:
         return optax.chain(
-            optax.clip_by_global_norm(cfg.max_grad_norm),
             optax.scale_by_adam(b1=cfg.betas[0], b2=cfg.betas[1],
                                 eps=cfg.eps),
             optax.add_decayed_weights(
@@ -95,11 +94,23 @@ def build_optimizer(cfg: OptimizerConfig, params: Any,
             optax.scale(-mult),
         )
 
-    return optax.multi_transform(
-        {"base": adamw(1.0), "low": adamw(cfg.lr_multiplier),
-         "llm": adamw(cfg.lr_llm_multiplier),
-         "frozen": optax.set_to_zero()},
+    # The reference (HF Trainer/DeepSpeed) clips ONE global norm over all
+    # trainable parameters; clipping per-lr-group would yield larger
+    # updates whenever the total norm exceeds the cap. Frozen grads are
+    # zeroed first so they don't inflate the norm (the reference never
+    # computes them at all).
+    zero_frozen = optax.multi_transform(
+        {"base": optax.identity(), "low": optax.identity(),
+         "llm": optax.identity(), "frozen": optax.set_to_zero()},
         labels)
+    return optax.chain(
+        zero_frozen,
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.multi_transform(
+            {"base": adamw(1.0), "low": adamw(cfg.lr_multiplier),
+             "llm": adamw(cfg.lr_llm_multiplier),
+             "frozen": optax.set_to_zero()},
+            labels))
 
 
 class TrainState(struct.PyTreeNode):
