@@ -1,41 +1,117 @@
-"""End-to-end benchmark: VQA+det single-image pipeline, images/sec/chip.
+"""End-to-end benchmark: VQA+det single-image pipeline on the real chip.
 
-Measures the production inference path — CLIP-ViT-L/336 vision encode →
-VL bridge → LLM prefill ([EMB] routing) → grounding-dino detection
-(6-enc/6-dec, 900 queries) — on the default JAX device (the real TPU
-chip under the driver). LLM depth is reduced (see LLM_LAYERS_BENCH); the
-per-layer LLM cost is measured separately and scaled to 32 layers in the
-reported number, so the metric tracks the real 7B-architecture latency.
+Measures the production inference path at REAL flagship depth — CLIP-
+ViT-L/336 vision encode (24 layers) → VL bridge → 32-layer 7B-dim LLaMA
+prefill ([EMB] routing) → grounding-dino detection (6-enc/6-dec, 900
+queries) — plus decode-path metrics:
 
-Timing method: the whole pipeline is iterated ITERS times *inside one
-jit* (lax.scan with a data dependency between iterations), so the
-number reflects device time — the axon relay adds O(10ms) per host
-round trip, which would otherwise swamp per-call measurements.
+  value           e2e images/sec/chip (primary; full pipeline)
+  ttft_ms         vision encode + prefill + first sampled token, warm,
+                  host-observed (includes the axon relay round trip)
+  decode_tok_s    steady-state KV-cache decode throughput (device time,
+                  relay fitted out by a two-trip-count slope)
+  mfu_*           model-flops utilization vs the v5e bf16 peak
+                  (197 TFLOP/s); mfu_e2e is a lower bound (grounding-
+                  dino flops excluded from the flop model)
+  decode_hbm_util fraction of the 819 GB/s HBM peak the decode step
+                  sustains (decode is bandwidth-bound)
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline compares against bench_baseline.json (written on first run).
+TPU notes:
+* the LLM runs at the full 32 layers (nn.scan stack → compile time is
+  depth-independent); params are cast to bf16 inside the jitted init
+  (the fp32 tree would not fit the 16 GB chip).
+* input layouts are AUTO-negotiated (jax.experimental.layout): XLA
+  prefers {0,2,1} for the stacked scanned qkv kernels in the prefill
+  program, and feeding the default layout forced ~4 GB of in-program
+  relayout copies — enough to OOM the chip next to the 13 GB param
+  tree. The init program is compiled with `out_shardings=<the e2e
+  program's input formats>` so parameters are *born* in the right
+  layout. The decode program prefers a DIFFERENT layout, so it gets
+  its own LLM-only param tree after the e2e tree is deleted.
+* the persistent compilation cache is deliberately NOT used here:
+  `input_formats` read from a cache-reloaded executable was observed
+  to disagree with the layouts the executable actually enforces at
+  call time (reported {0,1,2}, required {0,2,1}), which poisons the
+  layout negotiation. Fresh compiles report correctly.
+* timing uses iterations chained inside one jit (lax.while_loop with a
+  data dependency) at two trip counts, taking the slope — the axon
+  relay adds O(10ms)+ per host round trip which would otherwise swamp
+  per-call numbers.
+
+Robustness (driver contract): fail-fast backend probe with retries +
+CPU fallback, per-stage time budget, and the primary metric is printed
+even if later stages fail. Prints ONE JSON line:
+{"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
-LLM_LAYERS_BENCH = 4
-LLM_LAYERS_REAL = 32
+T0 = time.time()
+TIME_BUDGET_S = 500          # leave headroom inside the driver window
 DET_SIZE = 512
-N_LO, N_HI = 4, 36
+PEAK_FLOPS = 197e12          # TPU v5e bf16 peak per chip
+PEAK_HBM = 819e9             # TPU v5e HBM bandwidth (bytes/s)
+MAX_LEN = 1024               # decode KV buffer
+DECODE_LO, DECODE_HI = 8, 72
+E2E_LO, E2E_HI = 2, 10
 
 
-def _device_seconds_per_iter(fn, *args):
-    """Device seconds per invocation of `fn`, with host/relay round-trip
-    overhead fitted out: run the pipeline n times inside ONE compiled
-    while_loop (runtime trip count → single compile), at two trip
-    counts, and take the slope (T_hi − T_lo) / (n_hi − n_lo)."""
+def log(msg):
+    print(f"[bench +{time.time()-T0:6.1f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
+def left() -> float:
+    return TIME_BUDGET_S - (time.time() - T0)
+
+
+def probe_backend():
+    """Fail fast on backend unavailability: 3 retries, then CPU."""
     import jax
     import jax.numpy as jnp
+    last = None
+    for attempt in range(3):
+        try:
+            x = jnp.ones((128, 128), jnp.bfloat16)
+            jax.block_until_ready(x @ x)
+            return jax.devices()[0].platform, None
+        except Exception as e:                      # noqa: BLE001
+            last = e
+            log(f"backend probe failed (attempt {attempt + 1}): "
+                f"{str(e)[:200]}")
+            time.sleep(5)
+    try:
+        jax.config.update("jax_platforms", "cpu")
+        import jax.numpy as jnp
+        x = jnp.ones((8, 8))
+        jax.block_until_ready(x @ x)
+        return "cpu-fallback", str(last)[:300]
+    except Exception as e:                          # noqa: BLE001
+        return None, str(e)[:300]
+
+
+def n_params(tree, pred=lambda path: True):
+    import jax
     import numpy as np
+    total = 0
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        name = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                        for k in path)
+        if pred(name):
+            total += int(np.prod(np.shape(leaf)))
+    return total
+
+
+def _chained(fn):
+    """while_loop wrapper: run fn n times with a scalar data dependency
+    so the device executes every iteration (no dead-code elimination)."""
+    import jax
+    import jax.numpy as jnp
 
     def chained(n, args):
         def cond(state):
@@ -44,101 +120,286 @@ def _device_seconds_per_iter(fn, *args):
         def body(state):
             i, c = state
             out = fn(*args, c)
-            # fold a scalar of the output back in → true data dependency
             return i + 1, jnp.sum(out).astype(jnp.float32) * 1e-12
 
-        return jax.lax.while_loop(cond, body, (jnp.int32(0),
-                                               jnp.float32(0)))[1]
+        return jax.lax.while_loop(cond, body,
+                                  (jnp.int32(0), jnp.float32(0)))[1]
 
-    jitted = jax.jit(chained)
-    _ = np.asarray(jitted(N_LO, args))    # compile + warm
+    return chained
 
-    def run(n):
-        t0 = time.perf_counter()
-        _ = np.asarray(jitted(n, args))   # host transfer = real sync
-        return time.perf_counter() - t0
 
-    run(N_LO)                              # second warm-up round trip
-    t_lo = min(run(N_LO) for _ in range(2))
-    t_hi = min(run(N_HI) for _ in range(2))
-    return max((t_hi - t_lo) / (N_HI - N_LO), 1e-9)
+def _slope(run, n_lo, n_hi, tag=""):
+    t_warm = run(n_lo)                              # warm round trips
+    log(f"{tag} warm({n_lo}): {t_warm:.2f}s")
+    t_lo = min(run(n_lo) for _ in range(2))
+    t_hi = min(run(n_hi) for _ in range(2))
+    log(f"{tag} lo({n_lo})={t_lo:.3f}s hi({n_hi})={t_hi:.3f}s")
+    return max((t_hi - t_lo) / (n_hi - n_lo), 1e-9)
 
 
 def main():
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
+    result = {"metric": "vqa_det_e2e_images_per_sec_chip", "value": 0.0,
+              "unit": "images/sec", "vs_baseline": 0.0}
 
-    from visionllm_tpu.config import (GDinoConfig, LLMConfig,
-                                      VisionEncoderConfig, VisionLLMConfig)
-    from visionllm_tpu.models.composite import VisionLLMWithTools
-    from visionllm_tpu.models.visionllm import SpecialTokenIds
+    def emit():
+        print(json.dumps(result), flush=True)
 
-    cfg = VisionLLMConfig(
-        vis_encoder=VisionEncoderConfig(),              # full CLIP-L/336
-        llm=LLMConfig(vocab_size=32096, num_layers=LLM_LAYERS_BENCH),
-        vl_bridge_type="mlp2x_gelu",
-        use_gdino=True,
-        gdino=GDinoConfig(),                            # full 6+6, 900 q
-    )
-    tid = SpecialTokenIds.synthetic()
-    model = VisionLLMWithTools(cfg, dtype=jnp.bfloat16)
+    try:
+        import jax
 
-    img_len = cfg.vis_encoder.num_patches               # 576
-    ids = ([1, 10, 11] + [tid.imp] * img_len + [12]
-           + [tid.det] + [tid.emb + i for i in range(cfg.num_embs)] + [2])
-    input_ids = jnp.asarray([ids], dtype=jnp.int32)
-    size = cfg.vis_encoder.image_size
-    images = jnp.ones((1, size, size, 3), jnp.bfloat16) * 0.1
-    images_aug = jnp.ones((1, DET_SIZE, DET_SIZE, 3), jnp.bfloat16) * 0.1
+        platform, err = probe_backend()
+        if platform is None:
+            result["error"] = f"no backend: {err}"
+            emit()
+            return
+        result["device"] = platform
+        if err:
+            result["backend_note"] = err
+        log(f"backend: {platform}")
 
-    params = jax.jit(lambda r: model.init(
-        r, input_ids, images, images_aug, tid,
-        method=VisionLLMWithTools.infer_det))(jax.random.PRNGKey(0))["params"]
+        import jax.numpy as jnp
+        import numpy as np
+        from jax.experimental.layout import Format, Layout
 
-    def e2e(params, input_ids, images, images_aug, eps):
-        out = model.apply(
-            {"params": params}, input_ids,
-            images + eps.astype(images.dtype),
-            images_aug + eps.astype(images_aug.dtype), tid,
-            method=VisionLLMWithTools.infer_det)
-        return out["logits"]
+        from visionllm_tpu.config import (GDinoConfig, LLMConfig,
+                                          VisionEncoderConfig,
+                                          VisionLLMConfig)
+        from visionllm_tpu.models.composite import VisionLLMWithTools
+        from visionllm_tpu.models.llama import KVCache
+        from visionllm_tpu.models.visionllm import SpecialTokenIds, VisionLLM
 
-    t_e2e = _device_seconds_per_iter(
-        e2e, params, input_ids, images, images_aug)
+        cfg = VisionLLMConfig(
+            vis_encoder=VisionEncoderConfig(),        # full CLIP-L/336
+            llm=LLMConfig(vocab_size=32096, num_layers=32),  # real 7B
+            vl_bridge_type="mlp2x_gelu",
+            use_gdino=True,
+            gdino=GDinoConfig(),                      # full 6+6, 900 q
+        )
+        tid = SpecialTokenIds.synthetic()
+        model = VisionLLMWithTools(cfg, dtype=jnp.bfloat16)
+        result["llm_layers"] = cfg.llm.num_layers
 
-    def core_only(params, input_ids, images, eps):
-        out = model.apply(
-            {"params": params}, input_ids,
-            images + eps.astype(images.dtype), tid, compute_logits=False,
-            method=lambda m, i, im, t, **kw: m.core(i, im, t, **kw))
-        return out["hidden"]
+        auto = lambda tree: jax.tree.map(                 # noqa: E731
+            lambda _: Format(Layout.AUTO), tree)
 
-    t_core = _device_seconds_per_iter(core_only, params, input_ids, images)
+        img_len = cfg.vis_encoder.num_patches         # 576
+        ids = ([1, 10, 11] + [tid.imp] * img_len + [12]
+               + [tid.det] + [tid.emb + i for i in range(cfg.num_embs)]
+               + [2])
+        input_ids = jnp.asarray([ids], dtype=jnp.int32)
+        L_prompt = input_ids.shape[1]
+        size = cfg.vis_encoder.image_size
+        rng = jax.random.PRNGKey(7)
+        images = 0.3 * jax.random.normal(rng, (1, size, size, 3),
+                                         jnp.bfloat16)
+        images_aug = 0.3 * jax.random.normal(rng, (1, DET_SIZE, DET_SIZE, 3),
+                                             jnp.bfloat16)
 
-    # per-layer LLM cost bounded by t_core / bench layers (vision tower
-    # amortizes); extrapolate to the full 32-layer decoder
-    t_full = t_e2e + (t_core / LLM_LAYERS_BENCH) * (
-        LLM_LAYERS_REAL - LLM_LAYERS_BENCH)
-    images_per_sec = 1.0 / t_full
+        # init directly in bf16 (fp32 tree = 27 GB, won't fit the chip).
+        # infer_det runs with compute_logits=False, so also touch the
+        # logits path or lm_head params would never be created (decode +
+        # TTFT need them).
+        def init_method(m, input_ids, images, images_aug, tid):
+            m.core(input_ids, images, tid, compute_logits=True)
+            return m.infer_det(input_ids, images, images_aug, tid)
 
-    baseline_path = os.path.join(os.path.dirname(__file__),
+        def init(r):
+            p = model.init(r, input_ids, images, images_aug, tid,
+                           method=init_method)["params"]
+            return jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x, p)
+
+        # ---------------- primary: e2e images/sec --------------------
+        def e2e(params, input_ids, images, images_aug, eps):
+            out = model.apply(
+                {"params": params}, input_ids,
+                images + eps.astype(images.dtype),
+                images_aug + eps.astype(images_aug.dtype), tid,
+                method=VisionLLMWithTools.infer_det)
+            return out["pred_boxes"]
+
+        p_abs = jax.eval_shape(init, jax.random.PRNGKey(0))
+        e2e_args = (p_abs, input_ids, images, images_aug)
+        t = time.time()
+        jitted = jax.jit(_chained(e2e),
+                         in_shardings=(auto(0), auto(e2e_args)))
+        compiled = jitted.lower(jnp.int32(E2E_LO), e2e_args).compile()
+        fmt_n, fmt_args = compiled.input_formats[0]
+        fmt_params = fmt_args[0]
+        log(f"e2e compile {time.time()-t:.1f}s")
+
+        t = time.time()
+        params = jax.jit(init, out_shardings=fmt_params)(
+            jax.random.PRNGKey(0))
+        jax.block_until_ready(params)
+        log(f"init (layout-negotiated) {time.time()-t:.1f}s")
+        input_ids_d = jax.device_put(input_ids, fmt_args[1])
+        images_d = jax.device_put(images, fmt_args[2])
+        images_aug_d = jax.device_put(images_aug, fmt_args[3])
+        call_args = (params, input_ids_d, images_d, images_aug_d)
+
+        p_llm = n_params(params, lambda n: n.startswith("core/llm"))
+        p_vit = n_params(params, lambda n: n.startswith("core/vis_encoder"))
+        p_emb = n_params(
+            params, lambda n: n.startswith("core/llm/embed_tokens"))
+        result["llm_params_b"] = round(p_llm / 1e9, 3)
+
+        def run_e2e(n):
+            t = time.perf_counter()
+            _ = np.asarray(compiled(jnp.int32(n), call_args))
+            return time.perf_counter() - t
+
+        t_e2e = _slope(run_e2e, E2E_LO, E2E_HI, "e2e")
+        images_per_sec = 1.0 / t_e2e
+        result["value"] = round(images_per_sec, 3)
+        # flop model: LLM prefill + ViT (577 tokens); gdino excluded →
+        # mfu_e2e is a lower bound
+        flops_e2e = 2 * (p_llm - p_emb) * L_prompt + 2 * p_vit * (img_len + 1)
+        result["mfu_e2e_lower_bound"] = round(
+            flops_e2e / (t_e2e * PEAK_FLOPS), 4)
+        log(f"e2e {t_e2e*1e3:.1f} ms/image → {images_per_sec:.3f} im/s")
+
+        base_path = os.path.join(os.path.dirname(__file__),
                                  "bench_baseline.json")
-    if os.path.exists(baseline_path):
-        with open(baseline_path) as f:
-            base = json.load(f)["value"]
-    else:
-        base = images_per_sec
-        with open(baseline_path, "w") as f:
-            json.dump({"metric": "vqa_det_e2e_images_per_sec_chip",
-                       "value": base}, f)
+        if os.path.exists(base_path):
+            with open(base_path) as f:
+                base = json.load(f)["value"]
+        else:
+            base = images_per_sec
+            with open(base_path, "w") as f:
+                json.dump({"metric": result["metric"], "value": base}, f)
+        result["vs_baseline"] = round(images_per_sec / base, 3)
 
-    print(json.dumps({
-        "metric": "vqa_det_e2e_images_per_sec_chip",
-        "value": round(images_per_sec, 3),
-        "unit": "images/sec",
-        "vs_baseline": round(images_per_sec / base, 3),
-    }))
+        # ---------------- TTFT (single-shot, host-observed) ----------
+        if left() > 30:
+            try:
+                def first_token(params, input_ids, images):
+                    cache = KVCache.create(cfg.llm, 1, MAX_LEN,
+                                           jnp.bfloat16)
+                    out = model.apply({"params": params}, input_ids,
+                                      images, tid, cache=cache,
+                                      method=lambda m, i, im, t, **kw:
+                                      m.core(i, im, t, **kw))
+                    return jnp.argmax(out["logits"][:, -1, :], axis=-1)
+
+                jft = jax.jit(first_token,
+                              in_shardings=(fmt_params, fmt_args[1],
+                                            fmt_args[2]))
+                t = time.time()
+                jax.block_until_ready(
+                    jft(params, input_ids_d, images_d))
+                log(f"ttft compile {time.time()-t:.1f}s")
+                ts = []
+                for _ in range(5):
+                    t = time.time()
+                    jax.block_until_ready(
+                        jft(params, input_ids_d, images_d))
+                    ts.append(time.time() - t)
+                result["ttft_ms"] = round(min(ts) * 1e3, 2)
+                log(f"ttft {min(ts)*1e3:.1f} ms")
+            except Exception as e:                  # noqa: BLE001
+                result["ttft_error"] = str(e)[:200]
+                log(f"ttft stage failed: {e}")
+
+        # ---------------- decode tok/s (KV-cache loop) ---------------
+        # The decode program prefers a different qkv-kernel layout than
+        # prefill (sharing one tree forces ~4 GB of relayout copies →
+        # OOM), so the e2e tree is deleted and an LLM-only tree is
+        # built in the decode program's own negotiated layout.
+        if left() > 150:
+            try:
+                for leaf in jax.tree.leaves(
+                        (params, input_ids_d, images_d, images_aug_d)):
+                    leaf.delete()
+                del compiled, params, call_args
+                core = VisionLLM(cfg, jnp.bfloat16)
+                hid = cfg.llm.hidden_size
+                cache0 = KVCache.create(cfg.llm, 1, MAX_LEN, jnp.bfloat16)
+                embed0 = jnp.zeros((1, 1, hid), jnp.bfloat16)
+                pos0 = jnp.zeros((1, 1), jnp.int32)
+                tok0 = jnp.zeros((1, 1), jnp.int32)
+
+                def dec_init_method(m, embed, pos, cache, tok):
+                    m.embed_tokens(tok)
+                    return m.llm_step(embed, pos, cache)
+
+                def dec_init(r):
+                    p = core.init(r, embed0, pos0, cache0, tok0,
+                                  method=dec_init_method)["params"]
+                    return jax.tree.map(
+                        lambda x: x.astype(jnp.bfloat16)
+                        if x.dtype == jnp.float32 else x, p)
+
+                def decode_step(cparams, cache, embed):
+                    B = embed.shape[0]
+                    pos = jnp.broadcast_to(cache.index[None, None],
+                                           (B, 1)).astype(jnp.int32)
+                    out = core.apply({"params": cparams}, embed, pos,
+                                     cache, method=VisionLLM.llm_step)
+                    tok = jnp.argmax(out["logits"][:, -1, :], axis=-1)
+                    nxt = core.apply({"params": cparams},
+                                     tok[:, None].astype(jnp.int32),
+                                     method=VisionLLM.embed_tokens)
+                    return out["cache"], nxt.astype(embed.dtype)
+
+                def decode_chain(n, cparams, cache, embed):
+                    def cond(s):
+                        return s[0] < n
+
+                    def body(s):
+                        i, cache, embed = s
+                        cache, embed = decode_step(cparams, cache, embed)
+                        return i + 1, cache, embed
+
+                    _, cache, embed = jax.lax.while_loop(
+                        cond, body, (jnp.int32(0), cache, embed))
+                    # returned value must depend on the real compute or
+                    # XLA dead-code-eliminates the whole forward (the
+                    # cache index alone only depends on the counter)
+                    return jnp.sum(embed).astype(jnp.float32)
+
+                cp_abs = jax.eval_shape(dec_init, jax.random.PRNGKey(0))
+                jdec = jax.jit(decode_chain,
+                               in_shardings=(auto(0), auto(cp_abs),
+                                             auto(cache0), auto(embed0)))
+                t = time.time()
+                cdec = jdec.lower(jnp.int32(DECODE_LO), cp_abs, cache0,
+                                  embed0).compile()
+                fmt_dec = cdec.input_formats[0]
+                cparams = jax.jit(dec_init, out_shardings=fmt_dec[1])(
+                    jax.random.PRNGKey(0))
+                jax.block_until_ready(cparams)
+                log(f"decode compile+init {time.time()-t:.1f}s")
+                cache0 = jax.device_put(cache0, fmt_dec[2])
+                embed0 = jax.device_put(embed0, fmt_dec[3])
+                pl = n_params(cparams, lambda n: n.startswith("llm"))
+                pe = n_params(cparams,
+                              lambda n: n.startswith("llm/embed_tokens"))
+
+                def run_dec(n):
+                    t = time.perf_counter()
+                    _ = float(cdec(jnp.int32(n), cparams, cache0,
+                                   embed0))
+                    return time.perf_counter() - t
+
+                t_step = _slope(run_dec, DECODE_LO, DECODE_HI, "decode")
+                result["decode_tok_s"] = round(1.0 / t_step, 2)
+                result["mfu_decode"] = round(
+                    2 * (pl - pe) / (t_step * PEAK_FLOPS), 4)
+                # decode reads every param byte once per token (bf16)
+                result["decode_hbm_util"] = round(
+                    2 * pl / (t_step * PEAK_HBM), 4)
+                log(f"decode {t_step*1e3:.2f} ms/tok → "
+                    f"{1/t_step:.1f} tok/s")
+            except Exception as e:                  # noqa: BLE001
+                result["decode_error"] = str(e)[:200]
+                log(f"decode stage failed: {e}")
+
+    except Exception as e:                          # noqa: BLE001
+        result["error"] = str(e)[:400]
+        log(f"FATAL: {e}")
+    emit()
 
 
 if __name__ == "__main__":
