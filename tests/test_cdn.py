@@ -84,3 +84,25 @@ def test_dn_loss_prefers_correct_predictions():
                   jnp.full((B, pad, 4), 0.9), dn_tgt, cfg=cfg)
     assert sum(good.values()) < sum(bad.values())
     assert float(good["dn_loss_bbox"]) < 1e-6
+
+
+def test_label_noise_samples_only_valid_slots():
+    """Jittered dn queries must embed valid text-query slots only
+    (advisor finding: randint over all P slots could embed padding
+    rows). Valid slots are a compacted prefix of length n_valid; the
+    padding rows carry a sentinel that must never appear in the dn
+    query embeddings."""
+    B, N, P, C, Q = 2, 4, 8, 16, 10
+    n_valid = 3
+    tq = np.random.default_rng(1).standard_normal((B, P, C))
+    tq[:, n_valid:, :] = 1e6                 # sentinel padding rows
+    tq = jnp.asarray(tq, jnp.float32)
+    tq_mask = jnp.asarray(
+        [[True] * n_valid + [False] * (P - n_valid)] * B)
+    targets = _targets(B, N)
+    # force every label to flip so all replacement draws are exercised
+    dn, dn_targets = build_cdn_queries(
+        jax.random.PRNGKey(0), targets, tq, tq_mask,
+        dn_number=8, label_noise_ratio=2.0, num_queries=Q)
+    q = np.abs(np.asarray(dn["query_label"]))
+    assert q.max() < 1e5, q.max()

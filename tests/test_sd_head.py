@@ -141,3 +141,26 @@ def test_ip2p_head_train_and_generate():
                       method=InstructPix2PixWithLLMEmb.generate)
     assert gen.shape == (2, 32, 32, 3)
     assert np.isfinite(np.asarray(gen)).all()
+
+
+def test_ddim_final_step_recovers_x0():
+    """Regression (advisor, round 1): the last DDIM step has prev_t < 0
+    and must read the appended final-alpha 1.0 slot — the raw negative
+    index read alphas_cumprod[T-step] ~ 0.006 and returned noise. With
+    an oracle eps predictor, the loop must reconstruct x0 exactly."""
+    from visionllm_tpu.models.stable_diffusion.scheduler import (
+        DiffusionSchedule, ddim_sample_loop)
+    sched = DiffusionSchedule()
+    ac = sched.alphas_cumprod()
+    rng = np.random.default_rng(0)
+    x0 = rng.standard_normal((1, 8, 8, 4)).astype(np.float32)
+    eps = rng.standard_normal((1, 8, 8, 4)).astype(np.float32)
+    steps = 50
+    t_start = (steps - 1) * (sched.num_train_timesteps // steps)  # 980
+    x_t = (np.sqrt(ac[t_start]) * x0
+           + np.sqrt(1 - ac[t_start]) * eps).astype(np.float32)
+
+    out = ddim_sample_loop(
+        lambda lat, t: jnp.asarray(eps), sched, jnp.asarray(x_t),
+        num_inference_steps=steps)
+    np.testing.assert_allclose(np.asarray(out), x0, rtol=2e-3, atol=2e-3)

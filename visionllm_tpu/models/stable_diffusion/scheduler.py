@@ -62,7 +62,10 @@ def ddim_sample_loop(
     timesteps = np.arange(0, num_inference_steps) * step
     timesteps = np.flip(timesteps).copy()                   # T-ish → 0
     ac = np.concatenate([sched.alphas_cumprod(), [1.0]]).astype(np.float32)
-    prev_t = timesteps - step                               # may be < 0 → 1.0
+    # final step has prev_t < 0 → must read the appended final-alpha 1.0
+    # slot at index T (diffusers' final_alpha_cumprod semantics). A raw
+    # negative index would wrap to ac[T-step] ≈ 0.006 and return noise.
+    prev_t = np.where(timesteps - step >= 0, timesteps - step, T)
 
     ts = jnp.asarray(timesteps)
     ac_t = jnp.asarray(ac[timesteps])

@@ -56,6 +56,15 @@ def _flash_ok(q, k) -> bool:
     return Lq >= 128 and Lk >= 128 and D % 64 == 0
 
 
+def _flash_causal_ok(q, k) -> bool:
+    """Causal flash additionally requires Lq == Lk: the kernel
+    start-aligns the causal mask (query i attends keys <= i) while the
+    einsum path end-aligns (keys <= i + Lk - Lq, the cache-offset decode
+    semantics) — for Lq != Lk the two disagree, so chunked-prefill-style
+    callers must take the einsum path."""
+    return _flash_ok(q, k) and q.shape[1] == k.shape[1]
+
+
 def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
@@ -81,7 +90,8 @@ def multi_head_attention(
     valid vs pad tokens so pad keys never contribute.
     """
     scale = q.shape[-1] ** -0.5
-    if mask is None and _flash_ok(q, k):
+    if mask is None and (_flash_causal_ok(q, k) if causal
+                         else _flash_ok(q, k)):
         from jax.experimental.pallas.ops.tpu import flash_attention as fa
         B, Lq, H, D = q.shape
         Lk = k.shape[1]

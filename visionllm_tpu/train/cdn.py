@@ -63,9 +63,17 @@ def build_cdn_queries(
     box_r = rep(boxes)
     val_r = rep(valid)
 
-    # ---- label jitter (prob ratio/2 over every dn slot)
+    # ---- label jitter (prob ratio/2 over every dn slot). Replacement
+    # classes are drawn from the sample's VALID text-query slots only
+    # (reference flips within real label slots; text queries are
+    # compacted so valid slots form a prefix) — otherwise jittered dn
+    # queries can embed padding rows.
     flip = jax.random.uniform(r_lab, lab_r.shape) < (label_noise_ratio * 0.5)
-    new_lab = jax.random.randint(r_new, lab_r.shape, 0, max(P, 1))
+    n_valid = jnp.maximum(
+        text_query_masks.astype(jnp.int32).sum(axis=1), 1)     # [B]
+    u = jax.random.uniform(r_new, lab_r.shape)
+    new_lab = jnp.floor(
+        u * n_valid[:, None, None, None].astype(u.dtype)).astype(lab_r.dtype)
     noisy_labels = jnp.where(flip, new_lab, lab_r)
 
     # ---- box jitter in xyxy with half-extent scaled noise
