@@ -22,3 +22,16 @@ jax.config.update("jax_platforms", "cpu")
 # Parity tests compare fp32 against torch-CPU references; make XLA use
 # true fp32 matmuls (the default "bfloat16_3x"-style passes lose ~1e-3).
 jax.config.update("jax_default_matmul_precision", "highest")
+# Persistent compilation cache: the sharded train-step tests alone cost
+# minutes of XLA CPU compile on this host; warm reruns are near-instant.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-minute compile-heavy tests "
+        "(deselect with -m 'not slow')")

@@ -242,3 +242,26 @@ def test_ragged_tile_batch_alignment():
     out_1 = model.apply({"params": params}, input_ids[1:], tiles[1:], TID)
     np.testing.assert_allclose(np.asarray(out_b["hidden"][1]),
                                np.asarray(out_1["hidden"][0]), atol=1e-5)
+
+
+def test_ignore_flag_on_image_token_mismatch(model_and_params):
+    """Image/token-count mismatch must raise ignore_flag (reference
+    modeling_visionllmv2.py:591-604) so losses degrade to 0 instead of
+    training on mis-scattered features."""
+    model, params, input_ids, img_len = model_and_params
+    size = CFG.vis_encoder.image_size
+    images = jnp.zeros((1, size, size, 3), jnp.float32)
+
+    out = model.apply({"params": params}, input_ids, images, TID)
+    assert float(out["ignore_flag"]) == 0.0
+
+    # drop one <im_patch> token → count mismatch
+    ids = np.asarray(input_ids).copy()
+    imp_pos = np.nonzero(ids[0] == TID.imp)[0]
+    ids[0, imp_pos[0]] = 5
+    out = model.apply({"params": params}, jnp.asarray(ids), images, TID)
+    assert float(out["ignore_flag"]) == 1.0
+
+    # no images at all → no flag (pure-text batches are fine)
+    out = model.apply({"params": params}, input_ids, None, TID)
+    assert float(out["ignore_flag"]) == 0.0

@@ -60,7 +60,11 @@ class VisionLLMWithTools(nn.Module):
                         attn_mask=batch.get("attn_mask"),
                         regions=batch.get("regions"))
         loss = lm_cross_entropy(out["logits"], batch["labels"])
-        return {"loss": loss, "lm_loss": loss, "logits": out["logits"]}
+        # image/token mismatch → loss×0 (reference ignore_flag,
+        # modeling_visionllmv2.py:756-757); grads flow but are zeros
+        loss = loss * (1.0 - out["ignore_flag"])
+        return {"loss": loss, "lm_loss": loss, "logits": out["logits"],
+                "ignore_flag": out["ignore_flag"]}
 
     def forward_det(self, batch: Dict[str, Any], tid: SpecialTokenIds,
                     dn_rng=None) -> Dict[str, Any]:
@@ -73,7 +77,8 @@ class VisionLLMWithTools(nn.Module):
         """
         out = self.core(batch["input_ids"], batch.get("images"), tid,
                         attn_mask=batch.get("attn_mask"))
-        lm_loss = lm_cross_entropy(out["logits"], batch["labels"])
+        lm_loss = (lm_cross_entropy(out["logits"], batch["labels"])
+                   * (1.0 - out["ignore_flag"]))
         tq, tq_mask = self.core.extract_text_query(
             out["hidden"], batch["input_ids"], tid)
         det_out = self.gdino(
@@ -84,7 +89,8 @@ class VisionLLMWithTools(nn.Module):
             dn_rng=dn_rng)
         det_out["text_mask"] = _text_mask(
             tq_mask, self.cfg.gdino.max_text_len)
-        return {"lm_loss": lm_loss, "det": det_out}
+        return {"lm_loss": lm_loss, "det": det_out,
+                "ignore_flag": out["ignore_flag"]}
 
     def forward_pose(self, batch: Dict[str, Any], tid: SpecialTokenIds,
                      num_obj_patches: int, dn_rng=None) -> Dict[str, Any]:
@@ -96,7 +102,8 @@ class VisionLLMWithTools(nn.Module):
         """
         out = self.core(batch["input_ids"], batch.get("images"), tid,
                         attn_mask=batch.get("attn_mask"))
-        lm_loss = lm_cross_entropy(out["logits"], batch["labels"])
+        lm_loss = (lm_cross_entropy(out["logits"], batch["labels"])
+                   * (1.0 - out["ignore_flag"]))
         tq, tq_mask = self.core.extract_text_query(
             out["hidden"], batch["input_ids"], tid)
         obj_q = tq[:, :num_obj_patches].astype(self.tool_dtype)
@@ -108,7 +115,8 @@ class VisionLLMWithTools(nn.Module):
             kpt_q, kpt_m, pixel_mask=batch.get("pixel_mask"),
             targets=batch.get("targets") if dn_rng is not None else None,
             dn_rng=dn_rng)
-        return {"lm_loss": lm_loss, "pose": pose_out}
+        return {"lm_loss": lm_loss, "pose": pose_out,
+                "ignore_flag": out["ignore_flag"]}
 
     def forward_gen(self, batch: Dict[str, Any], tid: SpecialTokenIds,
                     rng: jnp.ndarray) -> Dict[str, Any]:
@@ -116,7 +124,8 @@ class VisionLLMWithTools(nn.Module):
         (reference call stack SURVEY.md §3.5; text2img.py datasets)."""
         out = self.core(batch["input_ids"], batch.get("images"), tid,
                         attn_mask=batch.get("attn_mask"))
-        lm_loss = lm_cross_entropy(out["logits"], batch["labels"])
+        lm_loss = (lm_cross_entropy(out["logits"], batch["labels"])
+                   * (1.0 - out["ignore_flag"]))
         embs = self.core.extract_gen_embs(
             out["hidden"], batch["input_ids"], tid, C.TOOL_GEN)
         sd_out = self.sd.train_loss(
@@ -130,7 +139,8 @@ class VisionLLMWithTools(nn.Module):
         """[EDIT] batches: LM loss + IP2P ε-prediction loss."""
         out = self.core(batch["input_ids"], batch.get("images"), tid,
                         attn_mask=batch.get("attn_mask"))
-        lm_loss = lm_cross_entropy(out["logits"], batch["labels"])
+        lm_loss = (lm_cross_entropy(out["logits"], batch["labels"])
+                   * (1.0 - out["ignore_flag"]))
         embs = self.core.extract_gen_embs(
             out["hidden"], batch["input_ids"], tid, C.TOOL_EDIT)
         ip_out = self.ip2p.train_loss(

@@ -338,8 +338,26 @@ class VisionLLM(nn.Module):
         inputs_embeds = self.splice_emb_embeddings(inputs_embeds, input_ids,
                                                    tid)
         vit_hs = None
+        # graceful degradation on image/token-count mismatch (reference
+        # modeling_visionllmv2.py:591-604 → ignore_flag, loss×0 at
+        # :756-757): a malformed batch whose <im_patch> count does not
+        # match the image-feature count would silently mis-scatter;
+        # detect it and let the loss be zeroed instead of training on
+        # misaligned features. 0.0 = healthy, 1.0 = degrade.
+        ignore_flag = jnp.zeros((), jnp.float32)
         if images is not None:
             image_features, vit_hs = self.encode_images(images)
+            n_imp = jnp.sum(input_ids == tid.imp)
+            if images.ndim == 5:
+                B_, T_ = images.shape[:2]
+                expected = B_ * T_ * image_features.shape[1]
+                # padded tile stacks legitimately carry FEWER <im_patch>
+                # tokens than B*T*img_len; only more-than-capacity is
+                # definitely malformed
+                ignore_flag = (n_imp > expected).astype(jnp.float32)
+            else:
+                expected = images.shape[0] * image_features.shape[1]
+                ignore_flag = (n_imp != expected).astype(jnp.float32)
             if images.ndim == 5:
                 # padded tile stacks: per-sample scatter so ragged tile
                 # counts can't bleed across samples
@@ -387,4 +405,5 @@ class VisionLLM(nn.Module):
             inputs_embeds, positions, attn_mask=attn_mask, cache=cache,
             compute_logits=compute_logits)
         return {"hidden": hidden, "logits": logits, "cache": new_cache,
+                "ignore_flag": ignore_flag,
                 "vit_hidden_states": vit_hs}
