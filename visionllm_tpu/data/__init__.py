@@ -7,6 +7,8 @@ from visionllm_tpu.data import interactive_dataset as _inter  # noqa: F401
 from visionllm_tpu.data import region_dataset as _region  # noqa: F401
 from visionllm_tpu.data import mmic_dataset as _mmic  # noqa: F401
 from visionllm_tpu.data import semseg_dataset as _semseg  # noqa: F401
+from visionllm_tpu.data import det_variants as _detv  # noqa: F401
+from visionllm_tpu.data import region_variants as _regv  # noqa: F401
 from visionllm_tpu.data.build import (build_dataset, build_multi_datasets,
                                       ConcatDataset,
                                       TaskGroupedBatchSampler)

@@ -69,12 +69,22 @@ class CocoDetDataset:
         self.buckets = buckets or _tf.DEFAULT_BUCKETS
         self.rng = random.Random(seed)
 
+    # subclasses (det variants) may pin an explicit class list; None →
+    # the annotation file's categories
+    _classes: Optional[List[str]] = None
+    # normalize names the way det_llava.py:229 does (strip + lowercase)
+    _normalize_names: bool = False
+
     def __len__(self) -> int:
         return len(self.coco)
 
     @property
     def class_names(self) -> List[str]:
-        return self.coco.class_names
+        names = (list(self._classes) if self._classes is not None
+                 else self.coco.class_names)
+        if self._normalize_names:
+            names = [n.strip().lower() for n in names]
+        return names
 
     def _load_image(self, file_name: str) -> np.ndarray:
         from PIL import Image
@@ -99,6 +109,13 @@ class CocoDetDataset:
         out = pos + neg[:num_neg]
         self.rng.shuffle(out)
         return out
+
+    def _id2index(self, class_list: List[str]) -> Dict[int, int]:
+        """contiguous category id → answer slot (coco_llava.py:285-295)."""
+        name2index = {n: i for i, n in enumerate(class_list)}
+        return {i: name2index[n]
+                for i, n in enumerate(self.class_names)
+                if n in name2index}
 
     def __getitem__(self, idx: int) -> Dict:
         ann = self.coco.load_anns(idx, with_mask=self.with_mask)
@@ -135,10 +152,7 @@ class CocoDetDataset:
             model_max_length=self.model_max_length)
 
         # id2index: contiguous category id → answer slot (class_list pos)
-        name2index = {n: i for i, n in enumerate(class_list)}
-        id2index = {i: name2index[n]
-                    for i, n in enumerate(self.class_names)
-                    if n in name2index}
+        id2index = self._id2index(class_list)
 
         clip_img = clip_preprocess(img, self.image_size,
                                    self.image_aspect_ratio)

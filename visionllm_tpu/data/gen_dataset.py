@@ -145,3 +145,36 @@ class IP2PDataset:
             "img_metas": {"task": self.task,
                           "dataset_name": self.dataset_name},
         }
+
+
+# named text2img sources (reference: datasets/text2img.py:1-257 —
+# CC3MDataset / LaionDataset / MJDataset / JourneyDBDataset differ only
+# in file layout and caption field; the conversation machinery is the
+# Text2ImageDataset base). The json/jsonl rows here are pre-normalized
+# to {"image", "caption"} so the variants differ only by dataset_name.
+@register_dataset("cc3m")
+class CC3MDataset(Text2ImgDataset):
+    dataset_name = "cc3m"
+
+
+@register_dataset("laion")
+class LaionDataset(Text2ImgDataset):
+    dataset_name = "laion"
+
+
+@register_dataset("mj")
+class MJDataset(Text2ImgDataset):
+    dataset_name = "mj"
+
+
+@register_dataset("journeydb")
+class JourneyDBDataset(Text2ImgDataset):
+    dataset_name = "journeydb"
+
+
+@register_dataset("seedx")
+class SeedXDataset(IP2PDataset):
+    """SEED-X editing pairs (reference: datasets/ip2p.py SeedXDataset —
+    same {input image, instruction, output image} protocol as IP2P)."""
+
+    dataset_name = "seedx"

@@ -137,3 +137,55 @@ class RefCocoGrdDataset:
                         (mh // 4, mw // 4), "bilinear") > 127)
                 out["targets"]["masks"] = m
         return out
+
+
+@register_dataset("reasonseg")
+class ReasonSegDataset(RefCocoGrdDataset):
+    """Reasoning segmentation (behavioral reference:
+    datasets/reasonseg_llava.py:214-252): the question IS the full
+    reasoning sentence ('<image>\\n' + expression, no template
+    substitution), the answer is a YES template whose <expression> slot
+    becomes the "[GRD][EMB]..[EMB4]" block, and at train time the
+    dataset's explanation sentence is appended after the block so the
+    LLM also learns to justify. Single box/mask target like refcoco.
+
+    Annotation format: COCO-style json where each annotation carries
+    "expressions" (full sentences) and optionally "answer"
+    (explanation text).
+    """
+
+    task = "grd"
+    dataset_name = "reasonseg"
+
+    def __init__(self, *args, with_mask: bool = True, **kw):
+        super().__init__(*args, with_mask=with_mask, **kw)
+        # (image_id, ann, expr) items built by the parent; keep the
+        # per-annotation explanation alongside
+        self.answers = {}
+        for image_id, ann, expr in self.items:
+            self.answers[id(ann)] = ann.get("answer", "")
+
+    def __getitem__(self, idx: int) -> Dict:
+        image_id, ann, expr = self.items[idx]
+        out = super().__getitem__(idx)
+        # rebuild the conversation with reasonseg semantics
+        if self.test_mode:
+            a_t = T.GRD_YES[0]
+        else:
+            a_t = self.rng.choice(T.GRD_YES)
+        question = "<image>\n" + expr
+        answer = a_t.replace("<expression>",
+                             T.grd_answer_tokens(self.num_embs))
+        if not self.test_mode and ann.get("answer"):
+            answer = answer + " " + ann["answer"]
+        conversations = [{"from": "human", "value": question},
+                         {"from": "gpt", "value": answer}]
+        tok = preprocess(
+            preprocess_multimodal([conversations]), self.tokenizer,
+            version=self.conv_version, has_image=True,
+            image_token_len=(self.image_size // 14) ** 2,
+            model_max_length=self.model_max_length)
+        out["input_ids"] = tok["input_ids"][0]
+        out["labels"] = tok["labels"][0]
+        out["img_metas"]["dataset_name"] = self.dataset_name
+        return out

@@ -79,6 +79,14 @@ class CocoPoseDataset:
                     np.zeros((0, 4), np.float32))
         return np.stack(kps), np.asarray(boxes, np.float32)
 
+    def _sample_kpt_classes(self, K: int) -> List[int]:
+        """Train-time keypoint-class order for the answer slots. Base:
+        all classes, shuffled. UniKPT additionally truncates to a random
+        subset >= 1 (unikpt_llava.py:248-257)."""
+        order = list(range(K))
+        self.rng.shuffle(order)
+        return order
+
     def __getitem__(self, idx: int) -> Dict:
         info = self.coco.image_info(idx)
         from PIL import Image
@@ -106,8 +114,7 @@ class CocoPoseDataset:
             a_det = self.rng.choice(T.DET_YES)
             q_pose = self.rng.choice(T.POSE_QUESTIONS)
             a_pose = self.rng.choice(T.POSE_ANS)
-            kpt_order = list(range(K))
-            self.rng.shuffle(kpt_order)
+            kpt_order = self._sample_kpt_classes(K)
 
         obj_cls = "person"
         det_blk = T.det_answer_tokens(self.num_embs)
@@ -162,10 +169,11 @@ class CocoPoseDataset:
                 # answer-slot order: xy normalized; zero-pad beyond K
                 xy = kps[:n, :, :2] * np.asarray([[[fw / ww, fh / hh]]])
                 v = (kps[:n, :, 2] > 0).astype(np.float32)
+                S = len(kpt_order)            # may be a subset (unikpt)
                 xy_s = xy[:, kpt_order]       # reorder to answer slots
                 v_s = v[:, kpt_order]
-                tgt_kpts[:n, :2 * K] = xy_s.reshape(n, 2 * K)
-                tgt_kpts[:n, 2 * nb:2 * nb + K] = v_s
+                tgt_kpts[:n, :2 * S] = xy_s.reshape(n, 2 * S)
+                tgt_kpts[:n, 2 * nb:2 * nb + S] = v_s
                 wh = tgt_boxes[:n, 2:4]
                 area[:n] = np.maximum(wh[:, 0] * wh[:, 1], 1e-4)
                 valid[:n] = True
@@ -177,3 +185,59 @@ class CocoPoseDataset:
                 "valid": valid,
             }
         return out
+
+
+CROWDPOSE_KEYPOINT_NAMES = [
+    # crowdpose_llava.py:104-119 (continuous order)
+    "left shoulder", "right shoulder", "left elbow", "right elbow",
+    "left wrist", "right wrist", "left hip", "right hip",
+    "left knee", "right knee", "left ankle", "right ankle",
+    "head", "neck"]
+
+
+@register_dataset("crowdpose")
+class CrowdPoseDataset(CocoPoseDataset):
+    """CrowdPose keypoints (behavioral reference:
+    datasets/crowdpose_llava.py — 14 keypoint classes, person-only
+    objects; same two-part [DET]/[POSE] answer and kpt_id2index
+    shuffling machinery as CocoPoseDataset)."""
+
+    dataset_name = "crowdpose"
+
+    def __init__(self, *args, **kw):
+        kw.setdefault("keypoint_names", CROWDPOSE_KEYPOINT_NAMES)
+        super().__init__(*args, **kw)
+
+
+@register_dataset("unikpt")
+class UniKPTDataset(CocoPoseDataset):
+    """UniKPT multi-species keypoints (behavioral reference:
+    datasets/unikpt_llava.py): keypoint class names come from the
+    annotation file's categories[...]["keypoints"] (clean-stringed,
+    :176-182), and train-time answers cover a RANDOM SUBSET (>=1) of
+    the shuffled keypoint classes (:248-257) — the kpt_id2index mapping
+    then records which original class each answer slot holds, which is
+    what the pose eval uses to unshuffle predictions."""
+
+    dataset_name = "unikpt"
+
+    def __init__(self, ann_file, *args, **kw):
+        if "keypoint_names" not in kw:
+            import json as _json
+            with open(ann_file) as f:
+                cats = _json.load(f).get("categories", [])
+            kpt_lists = [c.get("keypoints", []) for c in cats]
+            if kpt_lists:
+                assert all(k == kpt_lists[0] for k in kpt_lists[1:]), (
+                    "unikpt requires identical keypoint lists per category"
+                    " (unikpt_llava.py:177-179)")
+                kw["keypoint_names"] = [
+                    k.strip().lower().replace("_", " ")
+                    for k in kpt_lists[0]]
+        super().__init__(ann_file, *args, **kw)
+
+    def _sample_kpt_classes(self, K):
+        order = list(range(K))
+        self.rng.shuffle(order)
+        n = self.rng.randint(1, K)
+        return order[:n]
