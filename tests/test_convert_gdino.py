@@ -165,6 +165,7 @@ def _build_reference_sd(params):
     return sd
 
 
+@pytest.mark.slow
 def test_gdino_converter_roundtrip():
     model = GroundingDino(CFG, dtype=jnp.float32)
     rng = np.random.default_rng(0)

@@ -211,6 +211,7 @@ def test_mmic_datasets(coco_dir, tmp_path):
     assert s2["targets"]["valid"].sum() == 1
 
 
+@pytest.mark.slow
 def test_cli_eval_det(coco_dir, capsys):
     from visionllm_tpu.cli import main
     main(["eval-det", "--ann", str(coco_dir / "ann.json"),

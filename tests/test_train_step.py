@@ -49,6 +49,7 @@ def _det_batch(B):
     }
 
 
+@pytest.mark.slow
 def test_sharded_det_train_step():
     mesh = build_mesh(n_data=4, n_model=2)
     model = VisionLLMWithTools(CFG, dtype=jnp.float32,
@@ -114,6 +115,7 @@ def test_sharded_chat_train_step():
     assert losses[-1] < losses[0]          # same batch → loss must drop
 
 
+@pytest.mark.slow
 def test_gen_and_edit_train_steps():
     """[GEN]/[EDIT] steps: finite losses, SD/IP2P params receive grads."""
     from visionllm_tpu.train.train_step import make_gen_train_step

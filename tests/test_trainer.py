@@ -36,6 +36,7 @@ def coco_dir(tmp_path_factory):
     return d
 
 
+@pytest.mark.slow
 def test_trainer_two_steps(coco_dir, tmp_path):
     pytest.importorskip("orbax.checkpoint")
     cfg = tiny_test_config()

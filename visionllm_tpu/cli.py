@@ -60,13 +60,28 @@ def _init_from_sample(model, sample, tid):
 
 
 def _common(sub):
-    sub.add_argument("--ann", required=True)
-    sub.add_argument("--imgs", required=True)
+    sub.add_argument("--ann", default=None)
+    sub.add_argument("--imgs", default=None)
+    sub.add_argument("--config", default=None,
+                     help="eval config (path or shipped key like "
+                          "'det/coco_val'); overrides --ann/--imgs")
     sub.add_argument("--ckpt", default=None)
     sub.add_argument("--model-config", default=None)
     sub.add_argument("--tokenizer", default=None)
     sub.add_argument("--limit", type=int, default=None)
     sub.add_argument("--tiny", action="store_true")
+
+
+def _dataset_cfgs(args, default_type: str):
+    """--config (declarative, possibly several datasets) or --ann/--imgs
+    (single ad-hoc dataset)."""
+    if args.config:
+        from visionllm_tpu.eval.configs import load_eval_config
+        return load_eval_config(args.config)
+    if not (args.ann and args.imgs):
+        raise SystemExit("need --config or both --ann and --imgs")
+    return [{"type": default_type, "ann_file": args.ann,
+             "img_prefix": args.imgs, "test_mode": True}]
 
 
 def main(argv=None):
@@ -77,6 +92,22 @@ def main(argv=None):
     det.add_argument("--with-mask", action="store_true")
     for name in ("eval-pose", "eval-grd"):
         _common(subs.add_parser(name))
+    vqa = subs.add_parser(
+        "eval-vqa", help="VQA benchmark runners (MME/POPE/MMBench/SEED/"
+        "ScienceQA/MM-Vet/jsonl suites)")
+    vqa.add_argument("--benchmark", required=True)
+    vqa.add_argument("--data", required=True,
+                     help="benchmark file: MME root dir / POPE-SEED-"
+                          "ScienceQA jsonl / MMBench tsv / MM-Vet json /"
+                          " VQA-suite jsonl")
+    vqa.add_argument("--imgs", default="",
+                     help="image prefix (jsonl suites) or MME image root")
+    vqa.add_argument("--ckpt", default=None)
+    vqa.add_argument("--model-config", default=None)
+    vqa.add_argument("--tokenizer", default=None)
+    vqa.add_argument("--limit", type=int, default=None)
+    vqa.add_argument("--tiny", action="store_true")
+    vqa.add_argument("--max-new-tokens", type=int, default=None)
     tr = subs.add_parser("train")
     tr.add_argument("--model-config", default=None)
     tr.add_argument("--data", required=True,
@@ -88,32 +119,91 @@ def main(argv=None):
     tr.add_argument("--tiny", action="store_true")
     args = parser.parse_args(argv)
 
-    if args.cmd == "eval-det":
+    if args.cmd in ("eval-det", "eval-grd", "eval-pose"):
         from visionllm_tpu.utils.simple_tokenizer import MockTokenizer
         cfg, model, params, tok, tid = _load_model_and_params(
             args, args.tiny)
         tok = tok or MockTokenizer()
-        from visionllm_tpu.data.det_dataset import CocoDetDataset
-        from visionllm_tpu.eval.eval_det import evaluate_det
-        ds = CocoDetDataset(args.ann, args.imgs, tok, test_mode=True,
-                            image_size=cfg.vis_encoder.image_size)
-        if params is None:
-            params = _init_from_sample(model, ds[0], tid)
-        res = evaluate_det(model, params, ds, tid, limit=args.limit,
-                           with_mask=getattr(args, "with_mask", False))
-        print(json.dumps(res))
-    elif args.cmd == "eval-grd":
+        default_type = {"eval-det": "coco_det", "eval-grd": "refcoco_grd",
+                        "eval-pose": "coco_pose"}[args.cmd]
+        from visionllm_tpu.data.build import build_dataset
+        results = {}
+        for ds_cfg in _dataset_cfgs(args, default_type):
+            ds_cfg = dict(ds_cfg)
+            ds_cfg.setdefault("image_size", cfg.vis_encoder.image_size)
+            if args.cmd == "eval-det":
+                ds_cfg.setdefault(
+                    "with_mask", getattr(args, "with_mask", False))
+            name = ds_cfg.get("ann_file", ds_cfg["type"])
+            ds = build_dataset(ds_cfg, tok)
+            if params is None:
+                params = _init_from_sample(model, ds[0], tid)
+            if args.cmd == "eval-det":
+                from visionllm_tpu.eval.eval_det import evaluate_det
+                results[name] = evaluate_det(
+                    model, params, ds, tid, limit=args.limit,
+                    with_mask=ds_cfg.get("with_mask", False))
+            elif args.cmd == "eval-grd":
+                from visionllm_tpu.eval.eval_grd import evaluate_grd
+                results[name] = evaluate_grd(model, params, ds, tid,
+                                             limit=args.limit)
+            else:
+                from visionllm_tpu.eval.eval_pose import evaluate_pose
+                results[name] = evaluate_pose(model, params, ds, tid,
+                                              limit=args.limit)
+        print(json.dumps(results[name] if len(results) == 1
+                         else results))
+    elif args.cmd == "eval-vqa":
         from visionllm_tpu.utils.simple_tokenizer import MockTokenizer
         cfg, model, params, tok, tid = _load_model_and_params(
             args, args.tiny)
         tok = tok or MockTokenizer()
-        from visionllm_tpu.data.grd_dataset import RefCocoGrdDataset
-        from visionllm_tpu.eval.eval_grd import evaluate_grd
-        ds = RefCocoGrdDataset(args.ann, args.imgs, tok, test_mode=True,
-                               image_size=cfg.vis_encoder.image_size)
+        from visionllm_tpu.eval import runners as R
+        bench = args.benchmark
+        if bench == "mme":
+            rows = R.load_mme(args.data, args.imgs or None,
+                              limit=args.limit)
+        elif bench == "pope":
+            rows = R.load_pope(args.data, args.imgs, limit=args.limit)
+        elif bench == "mmbench":
+            rows = R.load_mmbench(args.data, limit=args.limit)
+        elif bench == "seed":
+            rows = R.load_seed(args.data, args.imgs, limit=args.limit)
+        elif bench == "scienceqa":
+            rows = R.load_scienceqa(args.data, args.imgs,
+                                    limit=args.limit)
+        elif bench == "mmvet":
+            rows = R.load_mmvet(args.data, args.imgs, limit=args.limit)
+        elif bench in R.VQA_SUITES:
+            rows = R.load_vqa_jsonl(args.data, args.imgs,
+                                    limit=args.limit)
+        else:
+            parser.error(f"unknown benchmark {bench} (known: mme, pope, "
+                         f"mmbench, seed, scienceqa, mmvet, "
+                         f"{', '.join(R.VQA_SUITES)})")
+        import jax.numpy as jnp
+        from visionllm_tpu.generation import build_generate_fn
+        from visionllm_tpu.models.visionllm import VisionLLM
+        core = VisionLLM(cfg, dtype=jnp.bfloat16 if not args.tiny
+                         else jnp.float32)
+        max_new = (args.max_new_tokens
+                   or R.VQA_SUITES.get(bench, {}).get("max_new_tokens",
+                                                      32))
+        gen = build_generate_fn(core, tid, max_new_tokens=max_new,
+                                eos_id=tok.eos_token_id)
         if params is None:
-            params = _init_from_sample(model, ds[0], tid)
-        res = evaluate_grd(model, params, ds, tid, limit=args.limit)
+            import jax
+            import numpy as np
+            img_len = (cfg.vis_encoder.image_size // 14) ** 2
+            ids = jnp.asarray([[1] + [tid.imp] * img_len + [2]], jnp.int32)
+            size = cfg.vis_encoder.image_size
+            cparams = core.init(
+                jax.random.PRNGKey(0), ids,
+                jnp.zeros((1, size, size, 3), jnp.float32), tid)["params"]
+        else:
+            cparams = params["core"] if "core" in params else params
+        res = R.run_benchmark(bench, gen, cparams, tok, rows,
+                              image_size=cfg.vis_encoder.image_size)
         print(json.dumps(res))
     elif args.cmd == "train":
         import jax.numpy as jnp

@@ -141,3 +141,66 @@ BENCHMARK_METRICS = {
     "scienceqa": choice_accuracy,
     "mmvet": mmvet_keyword_score,
 }
+
+
+def relaxed_correctness(target: str, prediction: str,
+                        max_relative_change: float = 0.05) -> bool:
+    """ChartQA relaxed accuracy (evaluate_vqa.py:150-180, after
+    pix2struct): numeric answers tolerate 5% relative error; others
+    need exact match (case-insensitive)."""
+    def to_float(text):
+        try:
+            if text.endswith("%"):
+                return float(text.rstrip("%")) / 100.0
+            return float(text)
+        except ValueError:
+            return None
+
+    p = to_float(prediction.strip())
+    t = to_float(target.strip())
+    if p is not None and t is not None:
+        if t == 0:
+            return p == 0
+        return abs(p - t) / abs(t) <= max_relative_change
+    return prediction.strip().lower() == target.strip().lower()
+
+
+def relaxed_accuracy(rows: Sequence[Dict]) -> float:
+    hits = [relaxed_correctness(str(r.get("answer", "")), r["prediction"])
+            for r in rows if "answer" in r]
+    return float(sum(hits) / max(len(hits), 1))
+
+
+def _levenshtein(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def anls(rows: Sequence[Dict], tau: float = 0.5) -> float:
+    """Average Normalized Levenshtein Similarity (DocVQA metric): per
+    question, max over gt answers of 1 - NL(pred, gt), zeroed below
+    the tau threshold."""
+    scores = []
+    for r in rows:
+        pred = r["prediction"].strip().lower()
+        answers = r.get("answers") or [r.get("answer", "")]
+        best = 0.0
+        for a in answers:
+            a = str(a).strip().lower()
+            if not a and not pred:
+                best = max(best, 1.0)
+                continue
+            d = _levenshtein(pred, a)
+            nl = d / max(len(pred), len(a), 1)
+            s = 1.0 - nl
+            best = max(best, s if s >= tau else 0.0)
+        scores.append(best)
+    return float(sum(scores) / max(len(scores), 1))
