@@ -11,7 +11,7 @@ from __future__ import annotations
 import dataclasses
 import json
 from dataclasses import dataclass, field
-from typing import Any, Optional, Tuple
+from typing import Any, Mapping, Optional, Tuple
 
 
 @dataclass(frozen=True)
@@ -71,6 +71,9 @@ class GDinoConfig:
     """
 
     backbone: str = "swin_tiny"       # "swin_tiny" | "swin_large" | "intern_image_h"
+    # optional kwargs overriding the named swin backbone's dims (e.g.
+    # a micro swin for tests / parity fixtures); None → preset dims
+    backbone_overrides: Optional[Mapping[str, Any]] = None
     d_model: int = 256
     num_queries: int = 900
     encoder_layers: int = 6

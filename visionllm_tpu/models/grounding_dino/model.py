@@ -149,12 +149,15 @@ class GroundingDino(nn.Module):
 
     def setup(self):
         cfg = self.cfg
+        overrides = dict(cfg.backbone_overrides or {})
         if cfg.backbone == "swin_tiny":
-            swin_cfg = swin_tiny_config(out_stages=(0, 1, 2, 3))
+            swin_cfg = swin_tiny_config(out_stages=(0, 1, 2, 3),
+                                        **overrides)
             self.backbone = SwinBackbone(swin_cfg, self.dtype,
                                          name="backbone")
         elif cfg.backbone == "swin_large":
-            swin_cfg = swin_large_config(out_stages=(0, 1, 2, 3))
+            swin_cfg = swin_large_config(out_stages=(0, 1, 2, 3),
+                                         **overrides)
             self.backbone = SwinBackbone(swin_cfg, self.dtype,
                                          name="backbone")
         elif cfg.backbone.startswith("intern_image"):
