@@ -93,8 +93,8 @@ def test_unipose_converter_roundtrip():
             fus = enc["fusion_layer"]
             _inv_ln(fus["layer_norm_vision"], fl + "layer_norm_v", sd)
             _inv_ln(fus["layer_norm_text"], fl + "layer_norm_l", sd)
-            sd[fl + "gamma_v"] = np.asarray(fus["vision_param"])
-            sd[fl + "gamma_l"] = np.asarray(fus["text_param"])
+            sd[fl + "gam_v"] = np.asarray(fus["vision_param"])
+            sd[fl + "gam_l"] = np.asarray(fus["text_param"])
             for ours, theirs in (("vision_proj", "v_proj"),
                                  ("text_proj", "l_proj"),
                                  ("values_vision_proj", "values_v_proj"),

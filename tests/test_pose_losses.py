@@ -167,7 +167,9 @@ def test_pose_cdn_forward_and_loss():
     G = cfg.unipose.num_groups
     # matching outputs unchanged by dn
     assert pose["pred_boxes"].shape == (B, G, 4)
-    assert len(pose["dn_logits"]) == cfg.unipose.num_box_decoder_layers
+    # dn is re-threaded through the post-expansion layers, so every
+    # decoder layer contributes a dn slice (reference dn_post_process)
+    assert len(pose["dn_logits"]) == cfg.unipose.decoder_layers
     assert pose["dn_targets"] is not None
     from visionllm_tpu.train.cdn import dn_loss
     d = dn_loss(pose["dn_logits"][0], pose["dn_boxes"][0],

@@ -124,6 +124,10 @@ class UniPoseConfig:
     num_box_decoder_layers: int = 2
     num_body_points: int = 68         # max keypoints per instance
     num_groups: int = 50              # pose groups after box->kpt expansion
+    # vision sine-position-embedding temperature; the reference builds
+    # PositionEmbeddingSineHW(temperatureH=pe_temperatureH, ...) with the
+    # DINO-family default of 20 (modeling_unipose.py:4224-4233)
+    pe_temperature: float = 20.0
     max_obj_patches: int = 100
     max_kpt_patches: int = 100
     # losses

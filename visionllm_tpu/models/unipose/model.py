@@ -103,25 +103,33 @@ class UniPoseDecoderLayer(nn.Module):
     def __call__(self, hidden, *, query_pos, reference_points,
                  spatial_shapes, vision, vision_valid_mask, text,
                  text_pad_mask, self_attn_mask=None, groups=None,
-                 group_mask=None):
+                 group_mask=None, n_dn=0, dn_attn_mask=None):
         cfg = self.cfg
         B, N, C = hidden.shape
         q = hidden + query_pos
+        mha = TorchMHA(cfg.d_model, cfg.num_heads, self.dtype,
+                       name="self_attn")
         if groups is None:
-            attn = TorchMHA(cfg.d_model, cfg.num_heads, self.dtype,
-                            name="self_attn")(
-                q, q, hidden, attn_mask=self_attn_mask)
+            attn = mha(q, q, hidden, attn_mask=self_attn_mask)
         else:
-            # group-isolated self-attention: [B, G*g, C] -> [B*G, g, C]
-            g = N // groups
-            qg = q.reshape(B * groups, g, C)
-            hg = hidden.reshape(B * groups, g, C)
+            # group-isolated self-attention: [B, G*g, C] -> [B*G, g, C].
+            # A leading dn block (post-expansion CDN re-threading,
+            # reference prepare_for_cdn attn_mask2 :832-866) runs as a
+            # second call of the SAME attention: dn queries attend to
+            # their own CDN groups plus every pose token; pose tokens
+            # never see dn.
+            qp, hp = q[:, n_dn:], hidden[:, n_dn:]
+            g = (N - n_dn) // groups
+            qg = qp.reshape(B * groups, g, C)
+            hg = hp.reshape(B * groups, g, C)
             gm = None
             if group_mask is not None:   # [B, g, g] True = NOT allowed
                 gm = jnp.repeat(group_mask, groups, axis=0)
-            attn = TorchMHA(cfg.d_model, cfg.num_heads, self.dtype,
-                            name="self_attn")(
-                qg, qg, hg, attn_mask=gm).reshape(B, N, C)
+            attn = mha(qg, qg, hg, attn_mask=gm).reshape(B, N - n_dn, C)
+            if n_dn:
+                dn_attn = mha(q[:, :n_dn], q, hidden,
+                              attn_mask=dn_attn_mask)
+                attn = jnp.concatenate([dn_attn, attn], axis=1)
         hidden = nn.LayerNorm(dtype=self.dtype, name="norm2")(hidden + attn)
 
         attn = TorchMHA(cfg.d_model, cfg.num_heads, self.dtype,
@@ -286,10 +294,10 @@ class UniPose(nn.Module):
         targets: Optional[Dict[str, jnp.ndarray]] = None,
         dn_rng: Optional[jnp.ndarray] = None,
         # (targets, dn_rng) builds CDN queries from the projected obj
-        # queries, mirroring the gdino path; dn supervises the box-decoder
-        # layers and is dropped at the box->keypoint expansion (the
-        # reference re-threads dn through the pose layers, :3075-3088 —
-        # a deliberate static-shape simplification, see STATUS.md)
+        # queries, mirroring the gdino path; dn queries are re-threaded
+        # through the post-expansion pose layers exactly as the
+        # reference does (modeling_unipose.py:3051-3088, attn_mask2
+        # :832-866), so the dn loss supervises every decoder layer
     ) -> Dict[str, Any]:
         cfg = self.cfg
         B, H, W, _ = pixel_values.shape
@@ -328,14 +336,14 @@ class UniPose(nn.Module):
             m = _downsample_mask(pixel_mask, x.shape[1:3])
             sources.append(x)
             masks_l.append(m)
-            pos_l.append(sine_position_embedding(m, cfg.d_model,
-                                                 temperature=10000))
+            pos_l.append(sine_position_embedding(
+                m, cfg.d_model, temperature=cfg.pe_temperature))
         extra = self.extra_proj_norm(self.extra_proj_conv(feats[-1]))
         m = _downsample_mask(pixel_mask, extra.shape[1:3])
         sources.append(extra)
         masks_l.append(m)
-        pos_l.append(sine_position_embedding(m, cfg.d_model,
-                                             temperature=10000))
+        pos_l.append(sine_position_embedding(
+            m, cfg.d_model, temperature=cfg.pe_temperature))
 
         spatial_shapes = tuple((s.shape[1], s.shape[2]) for s in sources)
         src_flat = jnp.concatenate(
@@ -379,12 +387,19 @@ class UniPose(nn.Module):
                 dn_number=cfg.dn_number, num_queries=cfg.num_queries)
 
         self_attn_mask = None
+        dn_post_mask = None
         n_dn = 0
         if dn is not None:
             target = jnp.concatenate([dn["query_label"], target], axis=1)
             ref_logit = jnp.concatenate([dn["query_bbox"], ref_logit], axis=1)
             self_attn_mask = dn["attn_mask"]
             n_dn = dn["query_label"].shape[1]
+            # post-expansion dn rows: CDN group structure over the dn
+            # block, unrestricted over the pose tokens (reference
+            # attn_mask2: dn rows' pose columns stay unmasked :858-866)
+            dn_post_mask = jnp.concatenate(
+                [self_attn_mask[:, :n_dn, :n_dn],
+                 jnp.zeros((B, n_dn, G * (nb + 1)), bool)], axis=2)
 
         reference_points = jax.nn.sigmoid(ref_logit)
         # per-group validity self-attn mask for post-expansion layers:
@@ -410,7 +425,9 @@ class UniPose(nn.Module):
                 text_pad_mask=text_pad,
                 self_attn_mask=self_attn_mask if not expanded else None,
                 groups=G if expanded else None,
-                group_mask=group_mask if expanded else None)
+                group_mask=group_mask if expanded else None,
+                n_dn=n_dn if expanded else 0,
+                dn_attn_mask=dn_post_mask if expanded else None)
             intermediates.append(self.decoder_norm(hidden))
 
             if lid < cfg.num_box_decoder_layers:
@@ -436,20 +453,26 @@ class UniPose(nn.Module):
                     [self.hw, self.hw_append], axis=0))           # [nb, 2]
                 kpt_wh = wh_w[None, None] * box_ref[..., None, 2:]
                 kpt_ref = jnp.concatenate([kpt_xy, kpt_wh], -1)   # [B,G,nb,4]
-                new_ref = jnp.concatenate(
+                exp_ref = jnp.concatenate(
                     [box_ref[:, :, None], kpt_ref], axis=2
                 ).reshape(B, G * (nb + 1), 4)
-                hidden = jnp.concatenate(
+                exp_hidden = jnp.concatenate(
                     [box_out[:, :, None], kpt_out], axis=2
                 ).reshape(B, G * (nb + 1), cfg.d_model)
-                # dn queries are dropped at expansion (see docstring)
+                # dn slots ride along ahead of the groups
+                # (reference :3082-3087 concatenates dn back in front)
+                new_ref = jnp.concatenate(
+                    [new_ref[:, :n_dn], exp_ref], axis=1)
+                hidden = jnp.concatenate(
+                    [hidden[:, :n_dn], exp_hidden], axis=1)
                 expanded = True
 
             if lid >= cfg.num_box_decoder_layers:
-                # separate box / kpt refinement (reference :3097-3117)
-                hg = hidden.reshape(B, G, nb + 1, cfg.d_model)
+                # separate box / kpt refinement (reference :3097-3117);
+                # dn slots refine box-style (:3100-3108)
+                hg = hidden[:, n_dn:].reshape(B, G, nb + 1, cfg.d_model)
                 rg = inverse_sigmoid(
-                    reference_points.reshape(B, G, nb + 1, 4))
+                    reference_points[:, n_dn:].reshape(B, G, nb + 1, 4))
                 box_new = jax.nn.sigmoid(
                     self.bbox_embed(hg[:, :, 0]) + rg[:, :, 0])
                 kpt_dxy = self.pose_embed(hg[:, :, 1:])
@@ -460,6 +483,11 @@ class UniPose(nn.Module):
                 new_ref = jnp.concatenate(
                     [box_new[:, :, None], kpt_new], axis=2
                 ).reshape(B, G * (nb + 1), 4)
+                if n_dn:
+                    dn_new = jax.nn.sigmoid(
+                        self.bbox_embed(hidden[:, :n_dn])
+                        + inverse_sigmoid(reference_points[:, :n_dn]))
+                    new_ref = jnp.concatenate([dn_new, new_ref], axis=1)
 
             reference_points = jax.lax.stop_gradient(new_ref)
             all_refs.append(new_ref)
@@ -480,8 +508,16 @@ class UniPose(nn.Module):
                     coord = coord[:, n_dn:]
                 kp = jnp.zeros((B, cls.shape[1], nb * 3), jnp.float32)
             else:
-                hg = hs.reshape(B, G, nb + 1, cfg.d_model)
-                rg = inverse_sigmoid(ref.reshape(B, G, nb + 1, 4))
+                if n_dn:
+                    dn_h, dn_r = hs[:, :n_dn], ref[:, :n_dn]
+                    dn_logits.append(contrastive_assign(
+                        dn_h, text, text_token_mask).astype(jnp.float32))
+                    dn_boxes.append(jax.nn.sigmoid(
+                        self.bbox_embed(dn_h) + inverse_sigmoid(dn_r)
+                    ).astype(jnp.float32))
+                hg = hs[:, n_dn:].reshape(B, G, nb + 1, cfg.d_model)
+                rg = inverse_sigmoid(
+                    ref[:, n_dn:].reshape(B, G, nb + 1, 4))
                 coord = jax.nn.sigmoid(
                     self.bbox_embed(hg[:, :, 0]) + rg[:, :, 0])   # [B,G,4]
                 cls = contrastive_assign(hg[:, :, 0], text, text_token_mask)

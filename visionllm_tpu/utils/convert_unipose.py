@@ -96,8 +96,11 @@ def convert_unipose(sd: Mapping[str, Array], cfg, prefix: str = "",
             "fusion_layer": {
                 "layer_norm_vision": _ln(sd, fl + "layer_norm_v"),
                 "layer_norm_text": _ln(sd, fl + "layer_norm_l"),
-                "vision_param": np.asarray(sd[fl + "gamma_v"]),
-                "text_param": np.asarray(sd[fl + "gamma_l"]),
+                # unipose names the layer-scale params gam_v/gam_l
+                # (modeling_unipose.py:2194-2195), unlike gdino's
+                # vision_param/text_param
+                "vision_param": np.asarray(sd[fl + "gam_v"]),
+                "text_param": np.asarray(sd[fl + "gam_l"]),
                 "attn": {
                     "vision_proj": _lin(sd, fl + "attn.v_proj"),
                     "text_proj": _lin(sd, fl + "attn.l_proj"),

@@ -202,6 +202,71 @@ def install_reference_shims() -> None:
         import transformers.models.deformable_detr as _dd
         _dd.load_custom = mod
 
+    if "torchvision" not in sys.modules:
+        tv = _make_module("torchvision")
+        tv.__version__ = "0.20.0"    # parsed by misc.py version probes
+        ops = _make_module("torchvision.ops")
+        boxes = _make_module("torchvision.ops.boxes")
+
+        def nms(*a, **k):
+            raise NotImplementedError("torchvision.nms shim (CPU parity "
+                                      "tests never reach the NMS path)")
+
+        def box_area(b):
+            return (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+
+        boxes.nms = nms
+        boxes.box_area = box_area
+        ops.boxes = boxes
+        models = _make_module("torchvision.models")
+        mutils = _make_module("torchvision.models._utils")
+
+        class IntermediateLayerGetter:      # resnet-only path, unused
+            def __init__(self, *a, **k):
+                raise NotImplementedError("resnet backbone shim")
+
+        mutils.IntermediateLayerGetter = IntermediateLayerGetter
+        models._utils = mutils
+        tv.ops = ops
+        tv.models = models
+
+    if "MultiScaleDeformableAttention" not in sys.modules:
+        # The reference's compiled CUDA extension
+        # (unipose/ops/functions/ms_deform_attn_func.py:18). Forward
+        # semantics re-composed with torch.grid_sample (bilinear, zeros
+        # padding, align_corners=False) — the same independent oracle
+        # our op tests use (tests/test_ms_deform_attn.py:torch_oracle).
+        msda = _make_module("MultiScaleDeformableAttention")
+
+        def ms_deform_attn_forward(value, spatial_shapes,
+                                   level_start_index, sampling_locations,
+                                   attention_weights, im2col_step):
+            import torch.nn.functional as F
+            B, S, H, D = value.shape
+            _, Q, _, L, P, _ = sampling_locations.shape
+            shapes = [(int(h), int(w)) for h, w in spatial_shapes]
+            values = value.split([h * w for h, w in shapes], dim=1)
+            grids = 2 * sampling_locations - 1
+            samples = []
+            for lvl, (h, w) in enumerate(shapes):
+                v = (values[lvl].flatten(2).transpose(1, 2)
+                     .reshape(B * H, D, h, w))
+                g = grids[:, :, :, lvl].permute(0, 2, 1, 3, 4).flatten(0, 1)
+                samples.append(F.grid_sample(
+                    v, g, mode="bilinear", padding_mode="zeros",
+                    align_corners=False))               # [B*H, D, Q, P]
+            attw = (attention_weights.transpose(1, 2)
+                    .reshape(B * H, 1, Q, L * P))
+            out = (torch.stack(samples, dim=-2).flatten(-2) * attw).sum(-1)
+            return out.view(B, H * D, Q).transpose(1, 2).contiguous()
+
+        msda.ms_deform_attn_forward = ms_deform_attn_forward
+
+        def ms_deform_attn_backward(*a, **k):
+            raise NotImplementedError("forward-only CPU shim")
+
+        msda.ms_deform_attn_backward = ms_deform_attn_backward
+
     if "mmdet" not in sys.modules:
         mmdet = _make_module("mmdet")
         utils = _make_module("mmdet.utils")
