@@ -108,9 +108,11 @@ def convert_gdino(sd: Mapping[str, Array], cfg,
     # Swin backbone via HF AutoBackbone (:2078, GroundingDinoConvEncoder)
     from visionllm_tpu.models.swin import swin_tiny_config, swin_large_config
     if swin_cfg is None:
-        swin_cfg = (swin_tiny_config(out_stages=(0, 1, 2, 3))
+        overrides = dict(getattr(cfg, "backbone_overrides", None) or {})
+        swin_cfg = (swin_tiny_config(out_stages=(0, 1, 2, 3), **overrides)
                     if cfg.backbone == "swin_tiny"
-                    else swin_large_config(out_stages=(0, 1, 2, 3)))
+                    else swin_large_config(out_stages=(0, 1, 2, 3),
+                                           **overrides))
     out["backbone"] = convert_swin(
         sd, swin_cfg, prefix=m + "backbone.conv_encoder.model.")
 

@@ -267,6 +267,25 @@ def install_reference_shims() -> None:
 
         msda.ms_deform_attn_backward = ms_deform_attn_backward
 
+    if "diffusers" not in sys.modules:
+        # names imported at module top by modeling_sd.py:8 /
+        # modeling_instruct_pix2pix.py:8; only instantiated when
+        # use_gen/use_edit is on, which the parity fixtures keep off
+        df = _make_module("diffusers")
+
+        class _Unavailable:
+            def __init__(self, *a, **k):
+                raise NotImplementedError("diffusers shim")
+
+            @classmethod
+            def from_pretrained(cls, *a, **k):
+                raise NotImplementedError("diffusers shim")
+
+        for name in ("StableDiffusionPipeline", "AutoencoderKL",
+                     "UNet2DConditionModel", "DDPMScheduler",
+                     "StableDiffusionInstructPix2PixPipeline"):
+            setattr(df, name, type(name, (_Unavailable,), {}))
+
     if "mmdet" not in sys.modules:
         mmdet = _make_module("mmdet")
         utils = _make_module("mmdet.utils")
