@@ -13,23 +13,36 @@ with a location `t` in [0, 1], the pixel-space coordinate is
 TPU design notes
 ----------------
 The CUDA reference (ms_deform_im2col_cuda.cuh) is a scalar gather loop —
-the worst possible shape for the TPU's vector units. Three formulations
-were measured on v5e at the 800px encoder scale (S≈20k, 10.3M sampled
-rows/head-batch):
+the worst possible shape for the TPU's vector units. Formulations
+measured on v5e at the 800px encoder scale (S=Q=13294, H=8, D=32,
+1.7M gathered rows):
 
-  * per-level `take_along_axis` (4 gathers/level): 90 ms — XLA lowers
-    batched gathers to near-serial loops (~1 GB/s effective);
-  * 2×2×D patch `lax.gather` (1 slice per point): 54 ms;
-  * ONE flat `jnp.take` over a globally-indexed [B·H·S, D] table with
-    all (level, point, corner) indices concatenated: ~22 ms (~30 GB/s)
-    — the production path below (`ms_deform_attn`).
+  * per-level `take_along_axis` (4 gathers/level): ~90 ms;
+  * corner-wise flat `jnp.take` ([B·H·S, D] table): 43.5 ms;
+  * quad-row gather + einsum consumer (round-1 production): 28.8 ms
+    f32 / 24.0 ms bf16;
+  * quad-row gather + FUSED elementwise consumer (production below):
+    **10.2 ms f32 / 7.0 ms bf16** — the einsum was the bottleneck, not
+    the gather: a dot_general over (level·point, corner) forces XLA to
+    materialize the 870 MB gathered-rows tensor, while the elementwise
+    multiply+sum loop-fuses into the gather consumer.
+  * floor: the bare row gather runs at 473M rows/s (242 GB/s on 512 B
+    rows) ⇒ 3.6 ms; index/weight prep + reduction account for the rest.
 
-A Pallas kernel was attempted around `tpu.dynamic_gather`, but Mosaic
-(this toolchain) restricts it to a single source vreg along the gather
-dimension (≤128 lanes), so a 20k-entry table gather is not expressible;
-`ms_deform_attn_pallas` is kept as the record of that design and used
-only when the flattened extent fits one vreg. `spatial_shapes` must be
-a *static* tuple (no dynamic shapes inside jit).
+Index layout matters: flattening gather indices as [B,H,L,P,Q] (queries
+minor) is 2.5× faster end-to-end than [B,Q→major] orders — the take's
+index vector and its consumers stay lane-contiguous in Q.
+
+A Pallas kernel CANNOT express this op profitably in the current
+toolchain — re-verified this round: Mosaic's `dynamic_gather` requires
+operand/indices/output to share one shape AND the gather extent to fit
+a single vreg (≤128 lanes, ≤8 f32 sublanes); vector ref-indexing
+(`ref[idx_vec]`) and scalar-loop row loads are likewise rejected. The
+one usable gather engine is XLA's own `jnp.take` row gather, which a
+kernel cannot call. `ms_deform_attn_pallas` is kept as the record of
+that design and used only when the flattened extent fits one vreg.
+`spatial_shapes` must be a *static* tuple (no dynamic shapes inside
+jit).
 
 Arrays (B=batch, S=sum of level sizes, H=heads, D=head dim, Q=queries,
 L=levels, P=points):
@@ -366,11 +379,20 @@ def ms_deform_attn_quad(
     head_off = (jnp.arange(B * H, dtype=jnp.int32) * S).reshape(B, H)
     gidx = gidx + head_off[:, :, None, None, None]
 
-    rows = jnp.take(quad, gidx.reshape(-1), axis=0)
-    rows = rows.reshape(B, H, L * P, Q, 4, D)
-    w = wcell.reshape(B, H, L * P, Q, 4).astype(rows.dtype)
-    out = jnp.einsum("bhsqc,bhsqcd->bhqd", w, rows,
-                     preferred_element_type=jnp.float32)
+    # Weighted reduction as elementwise multiply + axis sums, NOT an
+    # einsum: a dot_general over the (LP, corner) contraction forces XLA
+    # to materialize the gathered rows tensor ([B,H,LP,Q,4,D] = 870 MB
+    # at the 800px scale) as a matmul operand, which dominated the whole
+    # op. The elementwise form loop-fuses into the gather consumer.
+    # Measured 800px encoder scale (S=Q=13294, H=8, D=32), v5e:
+    #   einsum consumer   f32 28.8 ms   bf16 24.0 ms
+    #   fused consumer    f32 10.2 ms   bf16  7.0 ms   (this code)
+    #   pure row-gather floor: 3.6 ms (473M rows/s, table-dtype bound)
+    N = B * H * L * P * Q
+    rows = jnp.take(quad, gidx.reshape(-1), axis=0)        # [N, 4D]
+    w = wcell.reshape(N, 4, 1).astype(rows.dtype)
+    out_n = (rows.reshape(N, 4, D) * w).sum(1)             # corner reduce
+    out = out_n.reshape(B, H, L * P, Q, D).sum(2)          # (l, p) reduce
     return out.transpose(0, 2, 1, 3).reshape(B, Q, H * D).astype(value.dtype)
 
 
