@@ -52,6 +52,7 @@ def evaluate_det(
     topk: int = 100,
     limit: Optional[int] = None,
     progress: bool = True,
+    batch_size: int = 8,
 ) -> Dict[str, float]:
     num_classes = len(dataset.class_names)
     infer = make_det_infer_fn(model, tid, num_classes, topk)
@@ -59,43 +60,49 @@ def evaluate_det(
     evaluator = CocoMAPEvaluator(num_classes, "bbox")
     seg_eval = CocoMAPEvaluator(num_classes, "segm") if with_mask else None
 
+    from visionllm_tpu.eval.batching import batched_samples
     n = min(len(dataset), limit) if limit else len(dataset)
-    for i in range(n):
-        s = dataset[i]
-        out = infer(
+    done = 0
+    for idxs, samples, arrays, num_valid in batched_samples(
+            dataset, n, batch_size,
+            ("input_ids", "image", "image_aug", "pixel_mask")):
+        out = jax.device_get(infer(
             params,
-            jnp.asarray(s["input_ids"])[None],
-            jnp.asarray(s["image"])[None],
-            jnp.asarray(s["image_aug"])[None],
-            jnp.asarray(s["pixel_mask"])[None],
-        )
-        meta = s["img_metas"]
-        ori = meta["ori_shape"]
-        scores = np.asarray(out["scores"][0])
-        labels = np.asarray(out["labels"][0])
-        boxes = scale_boxes_np(np.asarray(out["boxes"][0]), ori)
-        # answer-slot → contiguous category id (invert id2index)
-        index2id = {v: k for k, v in meta["id2index"].items()}
-        labels = np.asarray([index2id.get(int(l), -1) for l in labels])
-        keep = labels >= 0
-        det = {"scores": scores[keep], "labels": labels[keep],
-               "boxes": boxes[keep]}
+            jnp.asarray(arrays["input_ids"]),
+            jnp.asarray(arrays["image"]),
+            jnp.asarray(arrays["image_aug"]),
+            jnp.asarray(arrays["pixel_mask"]),
+        ))
+        for bi in range(num_valid):
+            i, s = idxs[bi], samples[bi]
+            meta = s["img_metas"]
+            ori = meta["ori_shape"]
+            scores = np.asarray(out["scores"][bi])
+            labels = np.asarray(out["labels"][bi])
+            boxes = scale_boxes_np(np.asarray(out["boxes"][bi]), ori)
+            # answer-slot → contiguous category id (invert id2index)
+            index2id = {v: k for k, v in meta["id2index"].items()}
+            labels = np.asarray([index2id.get(int(l), -1) for l in labels])
+            keep = labels >= 0
+            det = {"scores": scores[keep], "labels": labels[keep],
+                   "boxes": boxes[keep]}
 
-        ann = dataset.coco.load_anns(i, with_mask=with_mask)
-        gt = {"labels": ann["labels"], "boxes": ann["boxes"]}
-        evaluator.update(det, gt)
+            ann = dataset.coco.load_anns(i, with_mask=with_mask)
+            gt = {"labels": ann["labels"], "boxes": ann["boxes"]}
+            evaluator.update(det, gt)
 
-        if with_mask:
-            from visionllm_tpu.ops.rle import rle_encode
-            masks = post_process_masks_np(
-                np.asarray(out["mask_logits"][0, keep, :, :]),
-                meta["img_shape"], ori)
-            det["masks"] = [rle_encode(m) for m in masks]
-            gt["masks"] = [rle_encode(m) for m in ann["masks"]]
-            seg_eval.update(det, gt)
+            if with_mask:
+                from visionllm_tpu.ops.rle import rle_encode
+                masks = post_process_masks_np(
+                    np.asarray(out["mask_logits"][bi, keep, :, :]),
+                    meta["img_shape"], ori)
+                det["masks"] = [rle_encode(m) for m in masks]
+                gt["masks"] = [rle_encode(m) for m in ann["masks"]]
+                seg_eval.update(det, gt)
 
-        if progress and (i + 1) % 50 == 0:
-            print(f"eval_det: {i + 1}/{n}")
+            done += 1
+            if progress and done % 50 == 0:
+                print(f"eval_det: {done}/{n}")
 
     results = {f"bbox_{k}": v for k, v in evaluator.summarize().items()}
     if seg_eval is not None:

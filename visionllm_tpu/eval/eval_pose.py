@@ -111,13 +111,14 @@ def pck(dt_kpts: Sequence[np.ndarray], gt_kpts: Sequence[np.ndarray],
 
 
 def evaluate_pose(model, params, dataset, tid, *, num_obj_patches: int = 1,
-                  topk: int = 20, limit=None,
-                  progress: bool = False) -> Dict[str, float]:
+                  topk: int = 20, limit=None, progress: bool = False,
+                  batch_size: int = 8) -> Dict[str, float]:
     """Runner: CocoPoseDataset(test_mode) → UniPose inference → keypoint
     unshuffle via kpt_id2index → OKS mAP (reference eval flow §3.4)."""
     import jax
     import jax.numpy as jnp
 
+    from visionllm_tpu.eval.batching import batched_samples
     from visionllm_tpu.models.composite import VisionLLMWithTools
 
     def fn(p, ids, im, ia, pm):
@@ -129,28 +130,33 @@ def evaluate_pose(model, params, dataset, tid, *, num_obj_patches: int = 1,
     K = len(dataset.kpt_names)
     ev = OksMAPEvaluator(num_keypoints=K, max_dets=topk)
     n = min(len(dataset), limit) if limit else len(dataset)
-    for i in range(n):
-        s = dataset[i]
+    done = 0
+    for idxs, samples, arrays, num_valid in batched_samples(
+            dataset, n, batch_size,
+            ("input_ids", "image", "image_aug", "pixel_mask")):
         out = jax.device_get(infer(
             params,
-            jnp.asarray(s["input_ids"])[None],
-            jnp.asarray(s["image"])[None],
-            jnp.asarray(s["image_aug"])[None],
-            jnp.asarray(s["pixel_mask"])[None]))
-        meta = s["img_metas"]
-        det = post_process_pose(out["pred_logits"][0], out["pred_boxes"][0],
-                                out["pred_keypoints"][0],
-                                meta["ori_shape"], topk=topk)
-        # unshuffle answer slots back to keypoint-class order
-        kpt_id2index = meta["kpt_id2index"]
-        order = np.asarray([kpt_id2index[c] for c in range(K)])
-        det_k = det["keypoints"][:, order]
-        gt_k, gt_boxes = dataset._keypoints(i)
-        areas = ((gt_boxes[:, 2] - gt_boxes[:, 0])
-                 * (gt_boxes[:, 3] - gt_boxes[:, 1])) if len(gt_boxes) \
-            else np.zeros(0)
-        ev.update({"scores": det["scores"], "keypoints": det_k[:, :K]},
-                  {"keypoints": gt_k, "areas": areas})
-        if progress and (i + 1) % 50 == 0:
-            print(f"eval_pose: {i + 1}/{n}")
+            jnp.asarray(arrays["input_ids"]),
+            jnp.asarray(arrays["image"]),
+            jnp.asarray(arrays["image_aug"]),
+            jnp.asarray(arrays["pixel_mask"])))
+        for bi in range(num_valid):
+            i, s = idxs[bi], samples[bi]
+            meta = s["img_metas"]
+            det = post_process_pose(
+                out["pred_logits"][bi], out["pred_boxes"][bi],
+                out["pred_keypoints"][bi], meta["ori_shape"], topk=topk)
+            # unshuffle answer slots back to keypoint-class order
+            kpt_id2index = meta["kpt_id2index"]
+            order = np.asarray([kpt_id2index[c] for c in range(K)])
+            det_k = det["keypoints"][:, order]
+            gt_k, gt_boxes = dataset._keypoints(i)
+            areas = ((gt_boxes[:, 2] - gt_boxes[:, 0])
+                     * (gt_boxes[:, 3] - gt_boxes[:, 1])) if len(gt_boxes) \
+                else np.zeros(0)
+            ev.update({"scores": det["scores"], "keypoints": det_k[:, :K]},
+                      {"keypoints": gt_k, "areas": areas})
+            done += 1
+            if progress and done % 50 == 0:
+                print(f"eval_pose: {done}/{n}")
     return ev.summarize()
