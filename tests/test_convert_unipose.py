@@ -59,6 +59,12 @@ def _inv_vendored_swin(tree, prefix, sd):
         _inv_ln(tree[f"out_norm{s}"], prefix + f"norm{s}", sd)
 
 
+import pytest
+
+
+@pytest.mark.slow  # 60s+ of CPU compile; strictly weaker than the
+# reference parity test (test_parity_unipose_reference.py), which
+# validates the converter against the actual torch UniPose
 def test_unipose_converter_roundtrip():
     model = UniPose(CFG, dtype=jnp.float32)
     rng = np.random.default_rng(0)

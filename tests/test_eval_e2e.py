@@ -54,7 +54,10 @@ def test_evaluate_det_smoke(coco_dir):
         jnp.asarray(s["image_aug"])[None], tid,
         method=VisionLLMWithTools.infer_det)["params"]
 
+    # batch_size=2: one full batch (2 imgs) — the padded-tail path is
+    # covered by the pose smoke; a bs=8 program octuples compile time
     res = evaluate_det(model, params, ds, tid, with_mask=True, topk=10,
+                       batch_size=2,
                        progress=False)
     assert "bbox_mAP" in res and "segm_mAP" in res
     # untrained model: mAP is a finite number (almost surely ~0)

@@ -118,5 +118,7 @@ def test_evaluate_pose_smoke(tmp_path):
         jnp.asarray(s["image"])[None],
         jnp.asarray(s["image_aug"])[None], tid, 1,
         method=VisionLLMWithTools.infer_pose)["params"]
-    res = evaluate_pose(model, params, ds, tid, limit=1, topk=3)
+    # batch_size=2 with limit=1 exercises the padded-tail batch path
+    res = evaluate_pose(model, params, ds, tid, limit=1, topk=3,
+                        batch_size=2)
     assert "AP" in res
