@@ -144,6 +144,28 @@ def main():
     def emit():
         print(json.dumps(result), flush=True)
 
+    # The FIRST process to push the 13 GB param tree through the axon
+    # relay can pay a ~400 s one-time first-call cost (observed; warm
+    # relays run the same call in ~13 s). Guarantee the driver always
+    # gets a JSON line: a watchdog THREAD (signal handlers are deferred
+    # while the main thread blocks inside XLA C calls) emits whatever
+    # has been measured so far at budget expiry and exits 0; SIGTERM
+    # does the same best-effort.
+    import signal
+    import threading
+
+    def _emit_and_exit(tag):
+        result["partial"] = f"{tag} at +{time.time()-T0:.0f}s"
+        emit()
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM,
+                  lambda s, f: _emit_and_exit(f"signal {s}"))
+    threading.Thread(
+        target=lambda: (time.sleep(TIME_BUDGET_S + 60),
+                        _emit_and_exit("watchdog")),
+        daemon=True).start()
+
     try:
         import jax
 
