@@ -189,3 +189,45 @@ def test_composite_det_forward_parity_vs_reference(ref_model):
                                ref_det_logits[..., :P],
                                atol=5e-3, rtol=1e-2)
     np.testing.assert_allclose(my_masks, ref_masks, atol=5e-3, rtol=1e-2)
+
+
+@pytest.mark.slow
+def test_composite_anyres_forward_parity_vs_reference(ref_model):
+    """'anyres' image mode (images as a per-sample tile list, reference
+    :562-575): tile features scatter into <im_patch> slots split-major.
+    Ours takes the same tiles stacked [B, T, H, W, 3]."""
+    import torch
+    ref, tid = ref_model
+    cfg = _my_config()
+
+    T = 3                                      # 2 splits + global tile
+    img_len = cfg.vis_encoder.num_patches
+    ids = ([1, 10, 11, tid.img] + [tid.imp] * (T * img_len) + [12, 2])
+    rng = np.random.default_rng(1)
+    tiles = rng.standard_normal((T, 3, IMG, IMG)).astype(np.float32)
+
+    input_ids_t = torch.tensor([ids], dtype=torch.long)
+    with torch.no_grad():
+        out = ref(
+            input_ids=input_ids_t,
+            attention_mask=torch.ones_like(input_ids_t),
+            images=[torch.from_numpy(tiles)],      # anyres: list entry
+            return_dict=True,
+        )
+    ref_logits = out.logits.numpy()
+
+    from visionllm_tpu.models.composite import VisionLLMWithTools
+    from visionllm_tpu.utils.torch_convert import convert_composite
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    params = convert_composite(sd, cfg)
+    model = VisionLLMWithTools(cfg, dtype=jnp.float32,
+                               tool_dtype=jnp.float32)
+
+    def fwd(m):
+        return m.core(jnp.asarray([ids], jnp.int32),
+                      jnp.asarray(tiles.transpose(0, 2, 3, 1))[None],
+                      tid, compute_logits=True)
+
+    core = model.apply({"params": params}, method=fwd)
+    my_logits = np.asarray(core["logits"], np.float32)
+    np.testing.assert_allclose(my_logits, ref_logits, atol=2e-3, rtol=1e-2)
