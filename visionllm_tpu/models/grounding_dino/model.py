@@ -457,8 +457,15 @@ class GroundingDino(nn.Module):
             "all_logits": jnp.stack(out_classes),      # [lvl, B, Q, T]
             "all_boxes": jnp.stack(out_coords),
             "all_masks": jnp.stack(out_masks),
-            "enc_logits": enc_class.astype(jnp.float32),
-            "enc_boxes": jax.nn.sigmoid(enc_coord_logits).astype(jnp.float32),
+            # two-stage (interm) loss supervises the TOP-K SELECTED
+            # proposals, not the full proposal map (reference
+            # enc_topk_class_logits / enc_topk_coords_logits, :3061-3063;
+            # gathered WITHOUT the detach used for decoder init)
+            "enc_logits": jnp.take_along_axis(
+                enc_class, topk_idx[..., None], axis=1).astype(jnp.float32),
+            "enc_boxes": jax.nn.sigmoid(jnp.take_along_axis(
+                enc_coord_logits, topk_idx[..., None], axis=1)
+            ).astype(jnp.float32),
             "intermediate_mask": intermediate_mask.astype(jnp.float32),
             "mask_features": mask_features,
             "text_features": text,

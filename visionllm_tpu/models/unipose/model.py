@@ -538,8 +538,13 @@ class UniPose(nn.Module):
             "all_logits": out_classes,
             "all_boxes": out_coords,
             "all_keypoints": out_keypoints,
-            "enc_logits": enc_class.astype(jnp.float32),
-            "enc_boxes": jax.nn.sigmoid(enc_coord).astype(jnp.float32),
+            # interm loss supervises the TOP-K selected proposals
+            # (reference interm_outputs from the gathered hs_enc/ref_enc,
+            # modeling_unipose.py:616-623), not the full proposal map
+            "enc_logits": jnp.take_along_axis(
+                enc_class, topk_idx[..., None], axis=1).astype(jnp.float32),
+            "enc_boxes": jax.nn.sigmoid(jnp.take_along_axis(
+                enc_coord, topk_idx[..., None], axis=1)).astype(jnp.float32),
             "text_query_masks": obj_query_masks,
             "dn_logits": dn_logits,          # per box-layer [B, n_dn, P]
             "dn_boxes": dn_boxes,
