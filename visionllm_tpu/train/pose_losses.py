@@ -155,10 +155,15 @@ def pose_loss(
         l1k = jnp.sum(jnp.abs(p_xy - g_xy) * g_v[..., None], axis=(-1, -2))
         loss_kpt = jnp.sum(jnp.where(tgt_valid, l1k, 0.0)) / num_boxes
         o = oks(p_xy, g_xy, g_v, targets["area"], sigmas)
-        loss_oks = -jnp.log(jnp.clip(o, 1e-6))
+        # OKSLoss(linear=True): 1 - oks, NOT -log(oks)
+        # (modeling_unipose.py:3562, model_utils.py:248-252)
+        loss_oks = 1.0 - jnp.clip(o, 1e-6)
         loss_oks = jnp.sum(jnp.where(tgt_valid, loss_oks, 0.0)) / num_boxes
         losses["loss_keypoints"] = cfg.keypoint_loss_coef * loss_kpt
-        losses["loss_oks"] = cfg.oks_loss_coef * loss_oks
+        # the reference weights loss_oks by keypoint_loss_coef, NOT
+        # oks_loss_coef (modeling_unipose.py:240 — oks_loss_coef is set
+        # by train.py:461 but never read); match the trained behavior
+        losses["loss_oks"] = cfg.keypoint_loss_coef * loss_oks
 
     return losses
 
@@ -183,5 +188,17 @@ def pose_loss_with_aux(outputs: Dict, targets: Dict, *, cfg):
         suffix = "" if lvl == n - 1 else f"_aux{lvl}"
         for k, v in losses.items():
             detail[k + suffix] = v
+            total = total + v
+
+    # interm (two-stage) loss on the top-k encoder proposals — box-only
+    # (reference weight_dict "_interm" entries exclude keypoints, :249)
+    if "enc_logits" in outputs:
+        enc_out = {"pred_logits": outputs["enc_logits"],
+                   "pred_boxes": outputs["enc_boxes"],
+                   "text_mask": outputs.get("text_mask")}
+        losses = pose_loss(enc_out, targets, cfg=cfg, with_keypoints=False,
+                           num_boxes=num_boxes)
+        for k, v in losses.items():
+            detail[k + "_interm"] = v
             total = total + v
     return total, detail

@@ -203,6 +203,8 @@ def make_pose_train_step(
             "all_logits": pose["all_logits"],
             "all_boxes": pose["all_boxes"],
             "all_keypoints": pose["all_keypoints"],
+            "enc_logits": pose["enc_logits"],
+            "enc_boxes": pose["enc_boxes"],
         }
         pose_total, detail = pose_loss_with_aux(
             pose_outputs, batch["targets"], cfg=pcfg)
