@@ -123,9 +123,16 @@ def build_generate_fn(
         rec_token = jnp.where(state.done, 0, next_token)
         out_tokens = jax.lax.dynamic_update_slice(
             state.out_tokens, rec_token[:, None], (0, state.step))
+        # `hidden` is the LLM output FOR the embedding fed this step,
+        # i.e. for out_tokens[step-1] — align the buffers so
+        # out_hidden[i] is the hidden state AT token i, matching the
+        # reference's hidden_states[emb_select] extraction (:762-788).
+        # (A token emitted at the very last step never gets its hidden
+        # recorded; [EMB] runs are always followed by a sampled token,
+        # so tool queries are unaffected.)
         out_hidden = jax.lax.dynamic_update_slice(
             state.out_hidden, hidden.astype(state.out_hidden.dtype),
-            (0, state.step, 0))
+            (0, state.step - 1, 0))
         return DecodeState(
             cache=cache, cur_embed=next_embed, out_tokens=out_tokens,
             out_hidden=out_hidden, step=state.step + 1,
