@@ -70,6 +70,7 @@ def _common(sub):
     sub.add_argument("--tokenizer", default=None)
     sub.add_argument("--limit", type=int, default=None)
     sub.add_argument("--tiny", action="store_true")
+    _dist_flags(sub)
 
 
 def _dataset_cfgs(args, default_type: str):
@@ -82,6 +83,32 @@ def _dataset_cfgs(args, default_type: str):
         raise SystemExit("need --config or both --ann and --imgs")
     return [{"type": default_type, "ann_file": args.ann,
              "img_prefix": args.imgs, "test_mode": True}]
+
+
+def _maybe_init_distributed(args) -> None:
+    """Multi-host: every host runs the same command; jax.distributed
+    wires the processes together (see docs/MULTIHOST.md). On TPU pods
+    initialize() autodetects coordinator/count/id from the TPU
+    metadata; elsewhere pass the three flags explicitly."""
+    if not getattr(args, "distributed", False):
+        return
+    import jax
+    kwargs = {}
+    if args.coordinator:
+        kwargs = dict(coordinator_address=args.coordinator,
+                      num_processes=args.num_processes,
+                      process_id=args.process_id)
+    jax.distributed.initialize(**kwargs)
+
+
+def _dist_flags(p) -> None:
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host run: jax.distributed.initialize() "
+                        "(auto-config on TPU pods)")
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0 (non-pod environments)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
 
 
 def main(argv=None):
@@ -117,7 +144,9 @@ def main(argv=None):
     tr.add_argument("--batch-size", type=int, default=8)
     tr.add_argument("--steps", type=int, default=1000)
     tr.add_argument("--tiny", action="store_true")
+    _dist_flags(tr)
     args = parser.parse_args(argv)
+    _maybe_init_distributed(args)
 
     if args.cmd in ("eval-det", "eval-grd", "eval-pose"):
         from visionllm_tpu.utils.simple_tokenizer import MockTokenizer
