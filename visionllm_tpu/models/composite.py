@@ -32,7 +32,11 @@ class VisionLLMWithTools(nn.Module):
 
     cfg: VisionLLMConfig
     dtype: jnp.dtype = jnp.bfloat16
-    tool_dtype: jnp.dtype = jnp.float32
+    # the reference deploys the WHOLE composite — tools included — in
+    # bf16 (train.py loads every submodel with torch_dtype=bfloat16);
+    # loss-side math and the deformable sampling geometry stay f32
+    # regardless (train/losses.py, ops/ms_deform_attn.py)
+    tool_dtype: jnp.dtype = jnp.bfloat16
 
     def setup(self):
         cfg = self.cfg

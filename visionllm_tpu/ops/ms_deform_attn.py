@@ -333,6 +333,12 @@ def ms_deform_attn_quad(
     L = len(spatial_shapes)
     P = sampling_locations.shape[4]
 
+    # locations/weights always in f32: bf16's 8 mantissa bits quantize
+    # a [0,1] location to ~0.4% of the map extent (half a cell at the
+    # coarse levels); only the gathered VALUES may stay low-precision
+    sampling_locations = sampling_locations.astype(jnp.float32)
+    attention_weights = attention_weights.astype(jnp.float32)
+
     v = value.transpose(0, 2, 1, 3).reshape(B * H, S, D)
 
     # build the concatenated quad table, level by level (static shifts)
@@ -390,8 +396,11 @@ def ms_deform_attn_quad(
     #   pure row-gather floor: 3.6 ms (473M rows/s, table-dtype bound)
     N = B * H * L * P * Q
     rows = jnp.take(quad, gidx.reshape(-1), axis=0)        # [N, 4D]
-    w = wcell.reshape(N, 4, 1).astype(rows.dtype)
-    out_n = (rows.reshape(N, 4, D) * w).sum(1)             # corner reduce
+    # f32 weights + f32 accumulation even for a bf16 table: the sums
+    # over 64 (l, p, corner) samples stay fused, so the upcast costs
+    # nothing but keeps the output exact to the f32 weighting
+    w = wcell.reshape(N, 4, 1)
+    out_n = (rows.reshape(N, 4, D).astype(jnp.float32) * w).sum(1)
     out = out_n.reshape(B, H, L * P, Q, D).sum(2)          # (l, p) reduce
     return out.transpose(0, 2, 1, 3).reshape(B, Q, H * D).astype(value.dtype)
 
