@@ -226,11 +226,22 @@ def convert_composite_core(sd: Mapping[str, Array], cfg) -> Dict:
     attribute names): vis_encoder / vl_bridge / llm / emb_embeddings_* /
     region_encoder.
     """
+    if cfg.vis_encoder.arch == "intern_vit":
+        # InternVisionModel keeps embeddings/encoder at the top level
+        # (no .vision_model wrapper like CLIPVisionModel)
+        vis = convert_intern_vit(sd, cfg.vis_encoder,
+                                 prefix="vis_encoder.")
+    else:
+        vis = convert_clip_vit(sd, cfg.vis_encoder,
+                               prefix="vis_encoder.vision_model.")
+    if cfg.llm.arch == "internlm2":
+        llm = convert_internlm2(sd, cfg.llm, prefix="llm.model.")
+    else:
+        llm = convert_llama(sd, cfg.llm, prefix="llm.model.")
     out: Dict = {
-        "vis_encoder": convert_clip_vit(
-            sd, cfg.vis_encoder, prefix="vis_encoder.vision_model."),
+        "vis_encoder": vis,
         "vl_bridge": convert_vl_bridge(sd),
-        "llm": convert_llama(sd, cfg.llm, prefix="llm.model."),
+        "llm": llm,
     }
     for name in ("emb_embeddings_det", "emb_embeddings_pose",
                  "emb_embeddings_gen", "emb_embeddings_edit"):
