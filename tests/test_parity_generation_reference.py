@@ -87,7 +87,8 @@ def ref_model():
             num_attention_heads=4, num_key_value_heads=4,
             vocab_size=VOCAB, rms_norm_eps=1e-5,
             max_position_embeddings=4096),
-        vl_bridge_type="mlp2x_gelu", num_embs=4, num_embs_gen=64)
+        vl_bridge_type="mlp2x_gelu", num_embs=4, num_embs_gen=64,
+        use_region_encoder=True)
     torch.manual_seed(0)
     model = VisionLLMv2Gen(cfg)
     model.eval()
@@ -121,7 +122,8 @@ def ref_model():
 
 
 def _my_config():
-    from visionllm_tpu.config import (LLMConfig, VisionEncoderConfig,
+    from visionllm_tpu.config import (LLMConfig, RegionEncoderConfig,
+                                      VisionEncoderConfig,
                                       VisionLLMConfig)
     return VisionLLMConfig(
         vis_encoder=VisionEncoderConfig(
@@ -130,7 +132,11 @@ def _my_config():
         llm=LLMConfig(vocab_size=VOCAB, hidden_size=L_HID,
                       intermediate_size=2 * L_HID, num_layers=2,
                       num_heads=4, num_kv_heads=4),
-        vl_bridge_type="mlp2x_gelu")
+        vl_bridge_type="mlp2x_gelu",
+        use_region_encoder=True,
+        region_encoder=RegionEncoderConfig(
+            hidden_dim=256, embed_dim=V_HID, out_dim=L_HID,
+            patch_size=PATCH))
 
 
 @pytest.mark.slow
@@ -195,3 +201,70 @@ def test_generation_parity_vs_reference(ref_model):
     assert my_sampled == ref_generated
     np.testing.assert_allclose(my_emb_hidden, ref_emb_hidden,
                                atol=2e-3, rtol=1e-2)
+
+
+@pytest.mark.slow
+def test_region_generation_parity_vs_reference(ref_model):
+    """Region-prompted generation: the reference threads regions=
+    through prepare_inputs_for_generation (modeling_visionllmv2.py:
+    355-379, used by eval_region_caption_refcoco.py:176-179) so the
+    RegionEncoder conditions the prefill. Ours passes regions into the
+    prefill of the jitted decode loop — greedy tokens must match."""
+    import torch
+    ref, tid = ref_model
+    cfg = _my_config()
+
+    img_len = cfg.vis_encoder.num_patches
+    # a region-caption style prompt: <image> patches + one <region> tag
+    prompt = ([1, 10, 11, tid.img] + [tid.imp] * img_len
+              + [12, 13, tid.reg, 14, 15])
+    rng = np.random.default_rng(1)
+    images = rng.standard_normal((1, 3, IMG, IMG)).astype(np.float32)
+    regions = np.zeros((1, IMG, IMG), np.float32)
+    regions[0, 6:22, 4:30] = 1.0
+
+    input_ids_t = torch.tensor([prompt], dtype=torch.long)
+    with torch.no_grad():
+        out = ref.generate(
+            input_ids=input_ids_t,
+            attention_mask=torch.ones_like(input_ids_t),
+            images=torch.from_numpy(images),
+            regions=[torch.from_numpy(regions)],
+            max_new_tokens=MAX_NEW, do_sample=False, use_cache=True,
+            pad_token_id=0, eos_token_id=2,
+            return_dict_in_generate=True)
+    ref_generated = out.sequences[0, len(prompt):].tolist()
+
+    import jax
+    from visionllm_tpu.generation import build_generate_fn
+    from visionllm_tpu.models.visionllm import VisionLLM
+    from visionllm_tpu.utils.torch_convert import convert_composite_core
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    params = jax.tree.map(jnp.asarray, convert_composite_core(sd, cfg))
+
+    model = VisionLLM(cfg, dtype=jnp.float32)
+    gen = build_generate_fn(model, tid, max_new_tokens=MAX_NEW,
+                            eos_id=2, max_len=256)
+    res = gen(params, jnp.asarray([prompt], jnp.int32),
+              jnp.asarray(images.transpose(0, 2, 3, 1)),
+              regions=jnp.asarray(regions)[None])
+    n = int(res["num_generated"])
+    toks = np.asarray(res["out_tokens"][0])
+    is_emb = (toks >= tid.emb) & (toks < tid.emb + cfg.num_embs)
+    my_sampled = [int(t) for i, t in enumerate(toks[:n]) if not is_emb[i]]
+    my_sampled = my_sampled[:len(ref_generated)]
+
+    print("ref:", ref_generated)
+    print("ours:", my_sampled)
+    assert my_sampled == ref_generated
+
+    # and a DIFFERENT region must change the continuation's first
+    # logits-driven choice at least with high probability — assert the
+    # prefill conditioned on the region at all by comparing hidden[0]
+    regions2 = np.zeros_like(regions)
+    regions2[0, 0:6, 0:6] = 1.0
+    res2 = gen(params, jnp.asarray([prompt], jnp.int32),
+               jnp.asarray(images.transpose(0, 2, 3, 1)),
+               regions=jnp.asarray(regions2)[None])
+    assert not np.allclose(np.asarray(res["out_hidden"][0, 0]),
+                           np.asarray(res2["out_hidden"][0, 0]))

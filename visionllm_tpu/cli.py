@@ -45,6 +45,33 @@ def _load_model_and_params(args, tiny: bool = False):
     return cfg, model, params, tokenizer, tid
 
 
+def _build_core_generate(cfg, params, tid, tiny, max_new_tokens, tok):
+    """Jitted emb-countdown generate over the composite core; random
+    params if no checkpoint (smoke runs). Init includes a region so the
+    RegionEncoder params exist when the eval passes `regions`."""
+    import jax
+    import jax.numpy as jnp
+    from visionllm_tpu.generation import build_generate_fn
+    from visionllm_tpu.models.visionllm import VisionLLM
+    core = VisionLLM(cfg, dtype=jnp.float32 if tiny else jnp.bfloat16)
+    gen = build_generate_fn(core, tid, max_new_tokens=max_new_tokens,
+                            eos_id=tok.eos_token_id)
+    if params is None:
+        img_len = (cfg.vis_encoder.image_size // 14) ** 2
+        ids = jnp.asarray([[1] + [tid.imp] * img_len + [tid.reg, 2]],
+                          jnp.int32)
+        size = cfg.vis_encoder.image_size
+        regions = (jnp.ones((1, 1, size, size), jnp.float32)
+                   if cfg.use_region_encoder else None)
+        cparams = core.init(
+            jax.random.PRNGKey(0), ids,
+            jnp.zeros((1, size, size, 3), jnp.float32), tid,
+            regions=regions)["params"]
+    else:
+        cparams = params["core"] if "core" in params else params
+    return gen, cparams
+
+
 def _init_from_sample(model, sample, tid):
     """Random-init params shaped by one dataset sample (smoke runs
     without a checkpoint)."""
@@ -117,8 +144,28 @@ def main(argv=None):
     det = subs.add_parser("eval-det")
     _common(det)
     det.add_argument("--with-mask", action="store_true")
-    for name in ("eval-pose", "eval-grd"):
+    for name in ("eval-pose", "eval-grd", "eval-semseg",
+                 "eval-interactive"):
         _common(subs.add_parser(name))
+    reg = subs.add_parser(
+        "eval-region", help="region-prompted generation evals "
+        "(caption/recognition/classification/vcr — the reference's "
+        "eval_region_*.py family)")
+    reg.add_argument("--task", required=True,
+                     choices=("region-caption", "region-recognition",
+                              "region-classification", "vcr"))
+    reg.add_argument("--ann", required=True)
+    reg.add_argument("--imgs", default="")
+    reg.add_argument("--vocab", default="coco",
+                     help="recognition vocabulary tag (coco|lvis)")
+    reg.add_argument("--test-format", default="bbox",
+                     choices=("bbox", "mask"))
+    reg.add_argument("--ckpt", default=None)
+    reg.add_argument("--model-config", default=None)
+    reg.add_argument("--tokenizer", default=None)
+    reg.add_argument("--limit", type=int, default=None)
+    reg.add_argument("--tiny", action="store_true")
+    reg.add_argument("--max-new-tokens", type=int, default=None)
     vqa = subs.add_parser(
         "eval-vqa", help="VQA benchmark runners (MME/POPE/MMBench/SEED/"
         "ScienceQA/MM-Vet/jsonl suites)")
@@ -148,13 +195,15 @@ def main(argv=None):
     args = parser.parse_args(argv)
     _maybe_init_distributed(args)
 
-    if args.cmd in ("eval-det", "eval-grd", "eval-pose"):
+    if args.cmd in ("eval-det", "eval-grd", "eval-pose", "eval-semseg",
+                    "eval-interactive"):
         from visionllm_tpu.utils.simple_tokenizer import MockTokenizer
         cfg, model, params, tok, tid = _load_model_and_params(
             args, args.tiny)
         tok = tok or MockTokenizer()
         default_type = {"eval-det": "coco_det", "eval-grd": "refcoco_grd",
-                        "eval-pose": "coco_pose"}[args.cmd]
+                        "eval-pose": "coco_pose", "eval-semseg": "semseg",
+                        "eval-interactive": "coco_interactive"}[args.cmd]
         from visionllm_tpu.data.build import build_dataset
         results = {}
         for ds_cfg in _dataset_cfgs(args, default_type):
@@ -176,6 +225,15 @@ def main(argv=None):
                 from visionllm_tpu.eval.eval_grd import evaluate_grd
                 results[name] = evaluate_grd(model, params, ds, tid,
                                              limit=args.limit)
+            elif args.cmd == "eval-semseg":
+                from visionllm_tpu.eval.eval_semseg import evaluate_semseg
+                results[name] = evaluate_semseg(model, params, ds, tid,
+                                                limit=args.limit)
+            elif args.cmd == "eval-interactive":
+                from visionllm_tpu.eval.eval_interactive import \
+                    evaluate_interactive
+                results[name] = evaluate_interactive(model, params, ds,
+                                                     tid, limit=args.limit)
             else:
                 from visionllm_tpu.eval.eval_pose import evaluate_pose
                 results[name] = evaluate_pose(model, params, ds, tid,
@@ -203,36 +261,44 @@ def main(argv=None):
                                     limit=args.limit)
         elif bench == "mmvet":
             rows = R.load_mmvet(args.data, args.imgs, limit=args.limit)
+        elif bench == "caption":
+            rows = R.load_caption(args.data, args.imgs, limit=args.limit)
         elif bench in R.VQA_SUITES:
             rows = R.load_vqa_jsonl(args.data, args.imgs,
                                     limit=args.limit)
         else:
             parser.error(f"unknown benchmark {bench} (known: mme, pope, "
-                         f"mmbench, seed, scienceqa, mmvet, "
+                         f"mmbench, seed, scienceqa, mmvet, caption, "
                          f"{', '.join(R.VQA_SUITES)})")
-        import jax.numpy as jnp
-        from visionllm_tpu.generation import build_generate_fn
-        from visionllm_tpu.models.visionllm import VisionLLM
-        core = VisionLLM(cfg, dtype=jnp.bfloat16 if not args.tiny
-                         else jnp.float32)
         max_new = (args.max_new_tokens
+                   or (30 if bench == "caption" else None)
                    or R.VQA_SUITES.get(bench, {}).get("max_new_tokens",
                                                       32))
-        gen = build_generate_fn(core, tid, max_new_tokens=max_new,
-                                eos_id=tok.eos_token_id)
-        if params is None:
-            import jax
-            import numpy as np
-            img_len = (cfg.vis_encoder.image_size // 14) ** 2
-            ids = jnp.asarray([[1] + [tid.imp] * img_len + [2]], jnp.int32)
-            size = cfg.vis_encoder.image_size
-            cparams = core.init(
-                jax.random.PRNGKey(0), ids,
-                jnp.zeros((1, size, size, 3), jnp.float32), tid)["params"]
-        else:
-            cparams = params["core"] if "core" in params else params
+        gen, cparams = _build_core_generate(cfg, params, tid, args.tiny,
+                                            max_new, tok)
         res = R.run_benchmark(bench, gen, cparams, tok, rows,
                               image_size=cfg.vis_encoder.image_size)
+        print(json.dumps(res))
+    elif args.cmd == "eval-region":
+        from visionllm_tpu.eval import region_eval as RE
+        from visionllm_tpu.utils.simple_tokenizer import MockTokenizer
+        cfg, model, params, tok, tid = _load_model_and_params(
+            args, args.tiny)
+        tok = tok or MockTokenizer()
+        loader, _, default_max_new = RE.TASKS[args.task]
+        kwargs = {"limit": args.limit}
+        if args.task == "region-recognition":
+            kwargs["vocab"] = args.vocab
+        if args.task in ("region-caption", "region-recognition",
+                         "region-classification"):
+            kwargs["test_format"] = args.test_format
+        rows = loader(args.ann, args.imgs, **kwargs)
+        max_new = args.max_new_tokens or default_max_new
+        gen, cparams = _build_core_generate(cfg, params, tid, args.tiny,
+                                            max_new, tok)
+        res = RE.run_region_eval(args.task, gen, cparams, tok, rows,
+                                 image_size=cfg.vis_encoder.image_size)
+        res.pop("predictions", None)
         print(json.dumps(res))
     elif args.cmd == "train":
         import jax.numpy as jnp

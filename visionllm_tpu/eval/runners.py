@@ -204,6 +204,53 @@ def load_scienceqa(annotation: str, img_prefix: str = "",
     return rows
 
 
+# eval/eval_image_caption.py:70 — the fixed caption prompt; generation
+# budget per suite :33-53 (flickr30k/coco_karpathy/nocaps all 30)
+CAPTION_PROMPT = "Provide a one-sentence caption for the provided image."
+
+
+def load_caption(ann_file: str, img_prefix: str = "",
+                 limit: Optional[int] = None) -> List[Dict]:
+    """Caption benchmarks (eval/eval_image_caption.py). Accepts either
+    COCO-caption format ({"images","annotations"} with per-image caption
+    annotations) or karpathy-style lists ([{"image", "caption": [...]}]).
+    Every row asks the same CAPTION_PROMPT; references are the gt
+    captions for that image."""
+    with open(ann_file, encoding="utf-8") as f:
+        data = json.load(f)
+    rows = []
+    if isinstance(data, dict) and "annotations" in data:
+        imgs = {im["id"]: im for im in data["images"]}
+        caps: Dict[object, List[str]] = {}
+        for ann in data["annotations"]:
+            caps.setdefault(ann["image_id"], []).append(ann["caption"])
+        for image_id, refs in caps.items():
+            im = imgs[image_id]
+            rows.append({
+                "image_path": os.path.join(
+                    img_prefix, im.get("file_name") or im.get("image")),
+                "question": CAPTION_PROMPT,
+                "captions": refs,
+                "image_id": image_id,
+            })
+            if limit and len(rows) >= limit:
+                break
+    else:
+        for i, d in enumerate(data):
+            refs = d.get("caption") or d.get("captions") or []
+            if isinstance(refs, str):
+                refs = [refs]
+            rows.append({
+                "image_path": os.path.join(img_prefix, d["image"]),
+                "question": CAPTION_PROMPT,
+                "captions": refs,
+                "image_id": d.get("image_id", i),
+            })
+            if limit and len(rows) >= limit:
+                break
+    return rows
+
+
 def load_mmvet(json_file: str, img_prefix: str = "",
                limit: Optional[int] = None) -> List[Dict]:
     with open(json_file, encoding="utf-8") as f:
@@ -231,6 +278,7 @@ BENCHMARKS = {
     "seed": load_seed,
     "scienceqa": load_scienceqa,
     "mmvet": load_mmvet,
+    "caption": load_caption,
 }
 
 
@@ -264,6 +312,12 @@ def score_rows(benchmark: str, rows: Sequence[Dict]) -> Dict[str, float]:
         return {"accuracy": float(sum(hits) / max(len(hits), 1))}
     if benchmark == "mmvet":
         return {"keyword_score": B.mmvet_keyword_score(rows)}
+    if benchmark == "caption":
+        from visionllm_tpu.eval.caption import CiderD, bleu4
+        cands = [r["prediction"] for r in rows]
+        refs = [r.get("captions") or [""] for r in rows]
+        return {"CIDEr": CiderD().compute(cands, refs),
+                "Bleu_4": bleu4(cands, refs)}
     if benchmark in VQA_SUITES:
         metric = VQA_SUITES[benchmark]["metric"]
         if metric == "vqa_score":

@@ -140,14 +140,22 @@ def build_generate_fn(
 
     def generate(params, input_ids: jnp.ndarray,
                  images: Optional[jnp.ndarray],
-                 first_token: Optional[jnp.ndarray] = None
+                 first_token: Optional[jnp.ndarray] = None,
+                 regions: Optional[jnp.ndarray] = None,
                  ) -> Dict[str, Any]:
         """`first_token` [B] optionally overrides the first sampled token
-        (teacher-forcing a tool trigger, e.g. [GEN] for generation eval)."""
+        (teacher-forcing a tool trigger, e.g. [GEN] for generation eval).
+
+        `regions` [B, R, H, W] binary visual-prompt masks condition the
+        prefill: the RegionEncoder replaces the <region> token embeddings
+        (reference threads regions= through prepare_inputs_for_generation,
+        modeling_visionllmv2.py:355-379; used by the region-caption/
+        recognition/classification evals, eval_region_caption_refcoco.py
+        :176-179)."""
         B, L = input_ids.shape
         cache = KVCache.create(cfg.llm, B, max_len, dtype=model.dtype)
         out = model.apply({"params": params}, input_ids, images, tid,
-                          cache=cache)
+                          cache=cache, regions=regions)
         logits, cache = out["logits"], out["cache"]
         first = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
         if first_token is not None:
