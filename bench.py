@@ -52,7 +52,11 @@ import sys
 import time
 
 T0 = time.time()
-TIME_BUDGET_S = 500          # leave headroom inside the driver window
+# mutable so the relay first-call cost (environmental, one-time, up to
+# ~400 s observed) can be credited back once it is measured — round 2
+# lost the decode stage because a 297 s first call burned the fixed
+# budget (VERDICT r2 weak #1)
+BUDGET = {"s": 500.0}
 DET_SIZE = 512
 PEAK_FLOPS = 197e12          # TPU v5e bf16 peak per chip
 PEAK_HBM = 819e9             # TPU v5e HBM bandwidth (bytes/s)
@@ -67,7 +71,7 @@ def log(msg):
 
 
 def left() -> float:
-    return TIME_BUDGET_S - (time.time() - T0)
+    return BUDGET["s"] - (time.time() - T0)
 
 
 def probe_backend():
@@ -161,10 +165,15 @@ def main():
 
     signal.signal(signal.SIGTERM,
                   lambda s, f: _emit_and_exit(f"signal {s}"))
-    threading.Thread(
-        target=lambda: (time.sleep(TIME_BUDGET_S + 60),
-                        _emit_and_exit("watchdog")),
-        daemon=True).start()
+
+    def _watchdog():
+        # poll: BUDGET["s"] grows when the relay first-call cost is
+        # credited back, so the deadline must be re-read each tick
+        while time.time() - T0 < BUDGET["s"] + 60:
+            time.sleep(5)
+        _emit_and_exit("watchdog")
+
+    threading.Thread(target=_watchdog, daemon=True).start()
 
     try:
         import jax
@@ -272,6 +281,20 @@ def main():
             _ = np.asarray(compiled(jnp.int32(n), call_args))
             return time.perf_counter() - t
 
+        # 1-trip pre-warm: the FIRST execution pays the one-time axon
+        # relay setup (param push; ~400 s observed cold, ~13 s warm).
+        # That cost is environmental, not a property of the model —
+        # measure it, report it, and credit everything beyond a nominal
+        # warm call back to the stage budget so decode/TTFT still run.
+        t_warmup = run_e2e(1)
+        result["relay_first_call_s"] = round(t_warmup, 1)
+        credit = max(0.0, t_warmup - 30.0)
+        if credit:
+            BUDGET["s"] += credit
+            log(f"relay first-call {t_warmup:.1f}s → credited "
+                f"{credit:.0f}s back to the budget")
+        log(f"pre-warm done, budget left {left():.0f}s")
+
         t_e2e = _slope(run_e2e, E2E_LO, E2E_HI, "e2e")
         images_per_sec = 1.0 / t_e2e
         result["value"] = round(images_per_sec, 3)
@@ -294,7 +317,13 @@ def main():
         result["vs_baseline"] = round(images_per_sec / base, 3)
 
         # ---------------- TTFT (single-shot, host-observed) ----------
-        if left() > 30:
+        # Decode has scoreboard priority over TTFT (BASELINE.md tracks
+        # decode explicitly; round 2 shipped TTFT but lost decode). TTFT
+        # must run BEFORE decode if at all (decode deletes the e2e param
+        # tree), so it only runs when the remaining budget covers BOTH:
+        # ~60 s TTFT (compile + 5 calls) + ~180 s decode.
+        result["budget_left_after_e2e_s"] = round(left(), 1)
+        if left() > 260:
             try:
                 def first_token(params, input_ids, images):
                     cache = KVCache.create(cfg.llm, 1, MAX_LEN,
@@ -323,13 +352,18 @@ def main():
             except Exception as e:                  # noqa: BLE001
                 result["ttft_error"] = str(e)[:200]
                 log(f"ttft stage failed: {e}")
+        else:
+            result["ttft_skipped"] = "budget reserved for decode"
+            log(f"ttft skipped (left {left():.0f}s ≤ 260s) — "
+                "decode has priority")
 
         # ---------------- decode tok/s (KV-cache loop) ---------------
         # The decode program prefers a different qkv-kernel layout than
         # prefill (sharing one tree forces ~4 GB of relayout copies →
         # OOM), so the e2e tree is deleted and an LLM-only tree is
         # built in the decode program's own negotiated layout.
-        if left() > 150:
+        result["budget_left_before_decode_s"] = round(left(), 1)
+        if left() > 120:
             try:
                 for leaf in jax.tree.leaves(
                         (params, input_ids_d, images_d, images_aug_d)):
