@@ -163,29 +163,51 @@ def preprocess_internlm(
             conv.append_message(role, sentence["value"])
         conversations.append(conv.get_prompt())
 
+    # Masking mirrors the reference arithmetic VERBATIM
+    # (llava_data.py:452-495): targets start as a copy of input_ids,
+    # instruction segments are masked by walking `parts` split on
+    # roles[1], every segment length is `len(tokenize(segment)) - 1`
+    # (dropping the <s> each separate call adds), and the answer part
+    # (`part1`) is measured with the PLAIN tokenizer even when
+    # has_image (the reference does exactly that — answers contain no
+    # <image>). A structurally different "unmask responses" version
+    # coincided on the char-level mock tokenizer but was off by one at
+    # subword boundaries of a real vocab (caught by
+    # tests/test_preprocess_real_tokenizer.py).
+    def tok_img(s):
+        return tokenizer_image_token(s, tokenizer)
+
+    def tok_plain(s):
+        return np.asarray(tokenizer(s).input_ids, np.int32)
+
+    tok_main = tok_img if has_image else tok_plain
+
     out_ids, out_labels = [], []
     for conversation in conversations:
-        if has_image:
-            input_ids = tokenizer_image_token(conversation, tokenizer)
-        else:
-            input_ids = np.asarray(tokenizer(conversation).input_ids,
-                                   np.int32)
-        input_ids = input_ids[:model_max_length]
-        target = np.full_like(input_ids, IGNORE_INDEX)
-        # unmask assistant responses: text between roles[1] and sep
+        input_ids = tok_main(conversation)[:model_max_length]
+        target = input_ids.copy()
+        total_len = int((target != tokenizer.pad_token_id).sum())
+        cur_len = 1
+        target[:cur_len] = IGNORE_INDEX                       # <s>
         parts = conversation.split(conv.roles[1])
-        cur = len(tokenizer_image_token(parts[0], tokenizer)
-                  if has_image else tokenizer(parts[0]).input_ids)
-        for part in parts[1:]:
-            resp = part.split(conv.sep)[0] + conv.sep
-            ids_fn = (tokenizer_image_token if has_image
-                      else lambda s, t: np.asarray(t(s).input_ids, np.int32))
-            role_len = len(ids_fn(conv.roles[1], tokenizer)) - 1
-            resp_len = len(ids_fn(resp, tokenizer)) - 1
-            cur += role_len
-            target[cur:cur + resp_len] = input_ids[cur:cur + resp_len]
-            full_len = len(ids_fn(conv.roles[1] + part, tokenizer)) - 1
-            cur += full_len - role_len
+        info = parts[0] + conv.roles[1]
+        temp_len = len(tok_main(info)) - 1
+        target[cur_len:cur_len + temp_len] = IGNORE_INDEX
+        cur_len += temp_len
+        for index in range(1, len(parts) - 1):
+            info = parts[index]
+            part1, part2 = info.split(conv.roles[0])
+            temp_len = len(tok_plain(part1)) - 1   # answer: supervised
+            cur_len += temp_len
+            part = conv.roles[0] + part2 + conv.roles[1]
+            temp_len = len(tok_main(part)) - 1
+            target[cur_len:cur_len + temp_len] = IGNORE_INDEX
+            cur_len += temp_len
+        temp_len = len(tok_main(parts[-1])) - 1
+        cur_len += temp_len
+        target[cur_len:] = IGNORE_INDEX
+        if cur_len < model_max_length and cur_len != total_len:
+            target[:] = IGNORE_INDEX   # tokenization mismatch → drop
         if has_image:
             input_ids, target = _expand_image_sentinels(
                 input_ids, target, tokenizer, image_token_len,
