@@ -129,3 +129,141 @@ class TaskGroupedBatchSampler:
     def __len__(self):
         return sum(len(d) // self.batch_size
                    for d in self.dataset.datasets)
+
+
+# ---------------------------------------------------------------------------
+# LengthGroupedSampler / RandomSourcedBatchSampler
+# (reference visionllmv2_trainer.py:64-205 — the two samplers HF Trainer
+# selects via group_by_length / random_sourced_batch training args)
+# ---------------------------------------------------------------------------
+
+
+def split_to_even_chunks(indices: List[int], lengths: Sequence[int],
+                         num_chunks: int) -> List[List[int]]:
+    """Split indices into num_chunks chunks of roughly equal total
+    length (reference :64-84): greedily append to the currently
+    shortest chunk; a chunk is frozen once it reaches its share."""
+    if len(indices) % num_chunks != 0:
+        return [indices[i::num_chunks] for i in range(num_chunks)]
+    per_chunk = len(indices) // num_chunks
+    chunks: List[List[int]] = [[] for _ in range(num_chunks)]
+    chunk_lens = [0.0] * num_chunks
+    for index in indices:
+        shortest = chunk_lens.index(min(chunk_lens))
+        chunks[shortest].append(index)
+        chunk_lens[shortest] += lengths[index]
+        if len(chunks[shortest]) == per_chunk:
+            chunk_lens[shortest] = float("inf")
+    return chunks
+
+
+def get_length_grouped_indices(lengths: Sequence[int], batch_size: int,
+                               world_size: int,
+                               rng: random.Random) -> List[int]:
+    """Random megabatches of world_size·batch_size, each sorted by
+    length desc and split into per-device chunks of roughly even total
+    length (reference :117-126)."""
+    indices = list(range(len(lengths)))
+    rng.shuffle(indices)
+    mb = world_size * batch_size
+    megabatches = [indices[i:i + mb] for i in range(0, len(indices), mb)]
+    megabatches = [sorted(m, key=lambda i: lengths[i], reverse=True)
+                   for m in megabatches]
+    megabatches = [split_to_even_chunks(m, lengths, world_size)
+                   for m in megabatches]
+    return [i for m in megabatches for chunk in m for i in chunk]
+
+
+def get_modality_length_grouped_indices(lengths: Sequence[int],
+                                        batch_size: int, world_size: int,
+                                        rng: random.Random) -> List[int]:
+    """Multimodal (length > 0) and language-only (length < 0) samples
+    grouped into separate megabatches (reference :86-115)."""
+    assert all(l != 0 for l in lengths), "Should not have zero length."
+    mm = [(i, l) for i, l in enumerate(lengths) if l > 0]
+    lang = [(i, -l) for i, l in enumerate(lengths) if l < 0]
+    assert mm, "Should have at least one multimodal sample."
+    assert lang, "Should have at least one language sample."
+    mm_idx = [mm[i][0] for i in get_length_grouped_indices(
+        [l for _, l in mm], batch_size, world_size, rng)]
+    lang_idx = [lang[i][0] for i in get_length_grouped_indices(
+        [l for _, l in lang], batch_size, world_size, rng)]
+    mb = world_size * batch_size
+    mm_mb = [mm_idx[i:i + mb] for i in range(0, len(mm_idx), mb)]
+    lang_mb = [lang_idx[i:i + mb] for i in range(0, len(lang_idx), mb)]
+    additional = mm_mb[-1] + lang_mb[-1]
+    megabatches = mm_mb[:-1] + lang_mb[:-1]
+    rng.shuffle(megabatches)
+    if len(additional) >= mb:
+        megabatches = [additional[:mb]] + megabatches
+        additional = additional[mb:]
+    if additional:
+        megabatches.append(additional)
+    return [i for m in megabatches for i in m]
+
+
+class LengthGroupedSampler:
+    """Length-bucketing index sampler (reference :128-159). On TPU the
+    payoff is the same as on GPU — near-uniform sequence lengths within
+    a step minimize padding — plus fewer distinct padded shapes, so
+    fewer XLA compilations."""
+
+    def __init__(self, batch_size: int, world_size: int,
+                 lengths: Sequence[int], seed: int = 0,
+                 group_by_modality: bool = False):
+        if lengths is None:
+            raise ValueError("Lengths must be provided.")
+        self.batch_size = batch_size
+        self.world_size = world_size
+        self.lengths = lengths
+        self.seed = seed
+        self.group_by_modality = group_by_modality
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+
+    def __len__(self):
+        return len(self.lengths)
+
+    def __iter__(self) -> Iterator[int]:
+        rng = random.Random(self.seed * 100003 + self._epoch)
+        if self.group_by_modality:
+            return iter(get_modality_length_grouped_indices(
+                self.lengths, self.batch_size, self.world_size, rng))
+        return iter(get_length_grouped_indices(
+            self.lengths, self.batch_size, self.world_size, rng))
+
+
+class RandomSourcedBatchSampler:
+    """Every consecutive `batch_size` indices come from ONE source
+    dataset (reference :162-205): per-dataset sample shuffle, trim to a
+    batch multiple, batch-level shuffle across datasets. Flat index
+    iterator like the reference (feed through a batching DataLoader)."""
+
+    def __init__(self, dataset_sizes: Sequence[int], batch_size: int,
+                 seed: int = 0):
+        self.dataset_sizes = list(dataset_sizes)
+        self.batch_size = batch_size
+        self.seed = seed
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+
+    def __len__(self):
+        return sum(self.dataset_sizes)
+
+    def __iter__(self) -> Iterator[int]:
+        rng = random.Random(self.seed * 100003 + self._epoch)
+        batches: List[List[int]] = []
+        start = 0
+        for size in self.dataset_sizes:
+            idxs = list(range(start, start + size))
+            rng.shuffle(idxs)
+            idxs = idxs[:size - size % self.batch_size]
+            batches.extend(idxs[i:i + self.batch_size]
+                           for i in range(0, len(idxs), self.batch_size))
+            start += size
+        rng.shuffle(batches)
+        return iter(i for b in batches for i in b)
