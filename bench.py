@@ -357,6 +357,78 @@ def main():
             log(f"ttft skipped (left {left():.0f}s ≤ 260s) — "
                 "decode has priority")
 
+        # ---------------- batched e2e (throughput config) ------------
+        # images/sec/chip is a THROUGHPUT metric; production serving
+        # batches. bs=4 amortizes the poorly-utilized parts of the
+        # pipeline (deformable-attn gather consumer, gdino's small
+        # matmuls, ViT at 577 tokens) over 4 images while the prefill
+        # stays MXU-bound. Needs its own param tree: the bs=4 program
+        # negotiates its own layouts (see module docstring).
+        def _delete_e2e_tree():
+            for leaf in jax.tree.leaves(
+                    (params, input_ids_d, images_d, images_aug_d)):
+                leaf.delete()
+
+        e2e_tree_live = True
+        B4 = 4
+        if left() > 250:
+            try:
+                ids4 = jnp.tile(input_ids, (B4, 1))
+                img4 = 0.3 * jax.random.normal(
+                    rng, (B4, size, size, 3), jnp.bfloat16)
+                aug4 = 0.3 * jax.random.normal(
+                    rng, (B4, DET_SIZE, DET_SIZE, 3), jnp.bfloat16)
+                e2e4_args = (p_abs, ids4, img4, aug4)
+                t = time.time()
+                jit4 = jax.jit(_chained(e2e),
+                               in_shardings=(auto(0), auto(e2e4_args)))
+                c4 = jit4.lower(jnp.int32(E2E_LO), e2e4_args).compile()
+                f4_n, f4_args = c4.input_formats[0]
+                log(f"e2e bs{B4} compile {time.time()-t:.1f}s")
+                _delete_e2e_tree()
+                e2e_tree_live = False
+                t = time.time()
+                params4 = jax.jit(init, out_shardings=f4_args[0])(
+                    jax.random.PRNGKey(0))
+                jax.block_until_ready(params4)
+                log(f"bs{B4} init {time.time()-t:.1f}s")
+                args4 = (params4, jax.device_put(ids4, f4_args[1]),
+                         jax.device_put(img4, f4_args[2]),
+                         jax.device_put(aug4, f4_args[3]))
+
+                def run4(n):
+                    t = time.perf_counter()
+                    _ = np.asarray(c4(jnp.int32(n), args4))
+                    return time.perf_counter() - t
+
+                run4(1)                             # warm the program
+                t4 = _slope(run4, E2E_LO, 6, f"e2e-bs{B4}")
+                rate4 = B4 / t4
+                result["value_bs1"] = result["value"]
+                result[f"value_bs{B4}"] = round(rate4, 3)
+                log(f"e2e bs{B4} {t4*1e3/B4:.1f} ms/image → "
+                    f"{rate4:.3f} im/s")
+                if rate4 > result["value"]:
+                    result["value"] = round(rate4, 3)
+                    result["batch"] = B4
+                    result["vs_baseline"] = round(rate4 / base, 3)
+                for leaf in jax.tree.leaves(args4):
+                    leaf.delete()
+                del c4, params4, args4
+            except Exception as e:                  # noqa: BLE001
+                result[f"e2e_bs{B4}_error"] = str(e)[:200]
+                log(f"e2e bs{B4} stage failed: {e}")
+                # free any partially-built bs4 tree so decode can init
+                for name in ("params4", "args4"):
+                    if name in locals():
+                        for leaf in jax.tree.leaves(locals()[name]):
+                            try:
+                                leaf.delete()
+                            except Exception:       # noqa: BLE001
+                                pass
+        else:
+            result[f"e2e_bs{B4}_skipped"] = f"budget left {left():.0f}s"
+
         # ---------------- decode tok/s (KV-cache loop) ---------------
         # The decode program prefers a different qkv-kernel layout than
         # prefill (sharing one tree forces ~4 GB of relayout copies →
@@ -365,9 +437,8 @@ def main():
         result["budget_left_before_decode_s"] = round(left(), 1)
         if left() > 120:
             try:
-                for leaf in jax.tree.leaves(
-                        (params, input_ids_d, images_d, images_aug_d)):
-                    leaf.delete()
+                if e2e_tree_live:
+                    _delete_e2e_tree()
                 del compiled, params, call_args
                 core = VisionLLM(cfg, jnp.bfloat16)
                 hid = cfg.llm.hidden_size
@@ -448,6 +519,77 @@ def main():
                     2 * pl / (t_step * PEAK_HBM), 4)
                 log(f"decode {t_step*1e3:.2f} ms/tok → "
                     f"{1/t_step:.1f} tok/s")
+
+                # ---- int8 weight-only decode (serving quant mode) ----
+                # decode is HBM-bound; int8 weights halve bytes/token
+                # (ops/quant.py). Quantize the resident bf16 tree in
+                # place (leaf-wise, source buffers deleted as we go).
+                if left() > 90:
+                    import dataclasses
+
+                    from visionllm_tpu.ops.quant import quantize_llm_params
+
+                    qllm = quantize_llm_params(cparams["llm"],
+                                               delete_source=True)
+                    qparams = dict(cparams)
+                    qparams["llm"] = qllm
+                    del cparams
+                    qcfg = dataclasses.replace(
+                        cfg, llm=dataclasses.replace(cfg.llm,
+                                                     quant="int8"))
+                    qcore = VisionLLM(qcfg, jnp.bfloat16)
+
+                    def qdecode_chain(n, cparams, cache, embed):
+                        def step(cparams, cache, embed):
+                            B = embed.shape[0]
+                            pos = jnp.broadcast_to(
+                                cache.index[None, None],
+                                (B, 1)).astype(jnp.int32)
+                            out = qcore.apply(
+                                {"params": cparams}, embed, pos, cache,
+                                method=VisionLLM.llm_step)
+                            tok = jnp.argmax(out["logits"][:, -1, :],
+                                             axis=-1)
+                            nxt = qcore.apply(
+                                {"params": cparams},
+                                tok[:, None].astype(jnp.int32),
+                                method=VisionLLM.embed_tokens)
+                            return out["cache"], nxt.astype(embed.dtype)
+
+                        def body(s):
+                            i, cache, embed = s
+                            cache, embed = step(cparams, cache, embed)
+                            return i + 1, cache, embed
+
+                        _, cache, embed = jax.lax.while_loop(
+                            lambda s: s[0] < n, body,
+                            (jnp.int32(0), cache, embed))
+                        return jnp.sum(embed).astype(jnp.float32)
+
+                    t = time.time()
+                    qdec = jax.jit(qdecode_chain).lower(
+                        jnp.int32(DECODE_LO), qparams, cache0,
+                        embed0).compile()
+                    log(f"int8 decode compile {time.time()-t:.1f}s")
+
+                    def run_qdec(n):
+                        t = time.perf_counter()
+                        _ = float(qdec(jnp.int32(n), qparams, cache0,
+                                       embed0))
+                        return time.perf_counter() - t
+
+                    t_q = _slope(run_qdec, DECODE_LO, DECODE_HI,
+                                 "decode-int8")
+                    result["decode_tok_s_int8"] = round(1.0 / t_q, 2)
+                    # int8 decode reads ~1 byte per matmul param + bf16
+                    # for embeddings/norms/cache — report vs 1B/param
+                    result["decode_int8_hbm_util"] = round(
+                        pl / (t_q * PEAK_HBM), 4)
+                    log(f"decode int8 {t_q*1e3:.2f} ms/tok → "
+                        f"{1/t_q:.1f} tok/s")
+                else:
+                    result["decode_int8_skipped"] = (
+                        f"budget left {left():.0f}s")
             except Exception as e:                  # noqa: BLE001
                 result["decode_error"] = str(e)[:200]
                 log(f"decode stage failed: {e}")

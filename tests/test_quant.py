@@ -1,0 +1,165 @@
+"""Int8 weight-only serving quantization (ops/quant.py).
+
+The reference serves in bf16 only; this is the TPU-first extension for
+bandwidth-bound decode. Tests: quantize/dequant roundtrip error bound,
+param-tree rewrite structure (plain + scanned stacks), logits agreement
+between the bf16 model and its quantized twin, KV-cache decode running
+quantized end-to-end, and generation through the public generate fn.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from visionllm_tpu.config import LLMConfig
+from visionllm_tpu.models.llama import KVCache, LlamaModel
+from visionllm_tpu.ops.quant import (Int8Dense, quantize_int8,
+                                     quantize_llm_params)
+
+TINY = LLMConfig(vocab_size=128, hidden_size=64, intermediate_size=172,
+                 num_layers=3, num_heads=4, num_kv_heads=2,
+                 max_position_embeddings=256)
+TINY_Q = dataclasses.replace(TINY, quant="int8")
+
+
+def test_quantize_roundtrip_error_bound():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(0, 0.02, (64, 172)), jnp.float32)
+    wq, scale = quantize_int8(w)
+    assert wq.dtype == jnp.int8 and scale.shape == (172,)
+    deq = wq.astype(jnp.float32) * scale.astype(jnp.float32)[None, :]
+    # max error per column is half a quantization step = scale/2
+    err = np.abs(np.asarray(deq - w))
+    assert (err <= np.asarray(scale, np.float32)[None, :] * 0.5
+            + 1e-6).all()
+
+
+def test_quantize_stacked_kernel_axis():
+    rng = np.random.default_rng(1)
+    w = jnp.asarray(rng.normal(0, 0.02, (3, 64, 172)), jnp.float32)
+    wq, scale = quantize_int8(w)
+    assert wq.shape == (3, 64, 172) and scale.shape == (3, 172)
+
+
+def test_int8_dense_matches_dequantized_matmul():
+    rng = np.random.default_rng(2)
+    w = jnp.asarray(rng.normal(0, 0.02, (64, 32)), jnp.float32)
+    wq, scale = quantize_int8(w)
+    x = jnp.asarray(rng.normal(0, 1, (5, 64)), jnp.float32)
+    y = Int8Dense(32, dtype=jnp.float32).apply(
+        {"params": {"kernel_q": wq, "scale": scale}}, x)
+    ref = x @ (wq.astype(jnp.float32) * scale.astype(jnp.float32)[None, :])
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def _init_params():
+    model = LlamaModel(TINY, dtype=jnp.float32)
+    embeds = jnp.zeros((1, 8, TINY.hidden_size))
+    pos = jnp.arange(8)[None, :]
+
+    def init_method(m, embeds, pos):
+        m.embed(jnp.zeros((1, 1), jnp.int32))   # touch embed_tokens too
+        return m(embeds, pos)
+
+    return model.init(jax.random.PRNGKey(0), embeds, pos,
+                      method=init_method)["params"]
+
+
+def test_quantized_tree_structure_and_logits_agreement():
+    params = _init_params()
+    qparams = quantize_llm_params(params, jit=False)
+
+    layer = qparams["layers"]["layer"]
+    for proj in ("q_proj", "k_proj", "v_proj", "o_proj", "gate_proj",
+                 "up_proj", "down_proj"):
+        assert set(layer[proj]) == {"kernel_q", "scale"}
+        assert layer[proj]["kernel_q"].dtype == jnp.int8
+        assert layer[proj]["kernel_q"].shape[0] == TINY.num_layers
+    assert set(qparams["lm_head"]) == {"kernel_q", "scale"}
+    # embeddings and norms untouched
+    assert qparams["embed_tokens"]["embedding"].dtype == \
+        params["embed_tokens"]["embedding"].dtype
+
+    rng = np.random.default_rng(3)
+    embeds = jnp.asarray(rng.normal(0, 1, (2, 9, TINY.hidden_size)),
+                         jnp.float32)
+    pos = jnp.broadcast_to(jnp.arange(9)[None, :], (2, 9))
+    _, logits, _ = LlamaModel(TINY, jnp.float32).apply(
+        {"params": params}, embeds, pos)
+    _, qlogits, _ = LlamaModel(TINY_Q, jnp.float32).apply(
+        {"params": qparams}, embeds, pos)
+    # int8 weight-only at 3 layers: logits track closely and the top-1
+    # token agrees nearly everywhere
+    cos = np.sum(np.asarray(logits) * np.asarray(qlogits)) / (
+        np.linalg.norm(logits) * np.linalg.norm(qlogits))
+    assert cos > 0.999
+    agree = (np.argmax(np.asarray(logits), -1)
+             == np.argmax(np.asarray(qlogits), -1)).mean()
+    assert agree >= 0.8
+
+
+def test_quantized_decode_with_kv_cache():
+    params = _init_params()
+    qparams = quantize_llm_params(params, jit=False)
+    model = LlamaModel(TINY_Q, jnp.float32)
+
+    cache = KVCache.create(TINY, 1, 32, jnp.float32)
+    rng = np.random.default_rng(4)
+    embeds = jnp.asarray(rng.normal(0, 1, (1, 6, TINY.hidden_size)),
+                         jnp.float32)
+    pos = jnp.arange(6)[None, :]
+    _, logits, cache = model.apply({"params": qparams}, embeds, pos,
+                                   cache=cache)
+    assert int(cache.index) == 6
+    step = jnp.asarray(rng.normal(0, 1, (1, 1, TINY.hidden_size)),
+                       jnp.float32)
+    _, logits2, cache = model.apply(
+        {"params": qparams}, step, jnp.full((1, 1), 6, jnp.int32),
+        cache=cache)
+    assert np.isfinite(np.asarray(logits2)).all()
+    assert int(cache.index) == 7
+
+
+def test_quantized_generation_serving_path():
+    """End-to-end serving path: quantize a composite core's params via
+    quantize_serving_params and decode through the public generate fn
+    (the CLI --quant int8 route)."""
+    from visionllm_tpu.config import tiny_test_config
+    from visionllm_tpu.generation import build_generate_fn
+    from visionllm_tpu.models.visionllm import SpecialTokenIds, VisionLLM
+    from visionllm_tpu.ops.quant import quantize_serving_params
+
+    cfg = tiny_test_config()
+    tid = SpecialTokenIds.synthetic()
+    model = VisionLLM(cfg, dtype=jnp.float32)
+    img_len = cfg.vis_encoder.num_patches
+    ids = jnp.asarray([[1, 5, 6] + [tid.imp] * img_len + [7]], jnp.int32)
+    size = cfg.vis_encoder.image_size
+    images = jnp.zeros((1, size, size, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), ids, images, tid)["params"]
+
+    qparams = quantize_serving_params(params, jit=False)
+    assert set(qparams["llm"]["lm_head"]) == {"kernel_q", "scale"}
+
+    qcfg = dataclasses.replace(
+        cfg, llm=dataclasses.replace(cfg.llm, quant="int8"))
+    qmodel = VisionLLM(qcfg, dtype=jnp.float32)
+    gen = build_generate_fn(qmodel, tid, max_new_tokens=6, max_len=128)
+    out = gen(qparams, ids, images)
+    toks = np.asarray(out["out_tokens"][0])
+    assert (toks >= 0).all() and (toks < cfg.llm.vocab_size).all()
+    assert 1 <= int(out["num_generated"]) <= 6
+
+    # the quantized model's prefill logits track the bf16 model closely
+    o = model.apply({"params": params}, ids, images, tid,
+                    compute_logits=True)
+    qo = qmodel.apply({"params": qparams}, ids, images, tid,
+                      compute_logits=True)
+    a, b = np.asarray(o["logits"]), np.asarray(qo["logits"])
+    cos = float((a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert cos > 0.995

@@ -33,8 +33,17 @@ def _load_model_and_params(args, tiny: bool = False):
             cfg = VisionLLMConfig.from_dict(json.load(f))
     else:
         cfg = tiny_test_config() if tiny else vllm_7b_config()
+    if getattr(args, "quant", ""):
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, llm=dataclasses.replace(cfg.llm, quant=args.quant))
     model = VisionLLMWithTools(cfg, dtype=jnp.bfloat16)
     params = load_params_npz(args.ckpt) if args.ckpt else None
+    if params is not None and getattr(args, "quant", ""):
+        # checkpoints are stored bf16/f32; rewrite the LLM matmul
+        # kernels to the int8 layout the quantized modules consume
+        from visionllm_tpu.ops.quant import quantize_serving_params
+        params = quantize_serving_params(params)
     tokenizer = None
     if args.tokenizer:
         from transformers import AutoTokenizer
@@ -97,6 +106,9 @@ def _common(sub):
     sub.add_argument("--tokenizer", default=None)
     sub.add_argument("--limit", type=int, default=None)
     sub.add_argument("--tiny", action="store_true")
+    sub.add_argument("--quant", default="", choices=["", "int8"],
+                     help="serving-only weight quantization of the LLM "
+                          "matmuls (ops/quant.py)")
     _dist_flags(sub)
 
 
@@ -166,6 +178,7 @@ def main(argv=None):
     reg.add_argument("--limit", type=int, default=None)
     reg.add_argument("--tiny", action="store_true")
     reg.add_argument("--max-new-tokens", type=int, default=None)
+    reg.add_argument("--quant", default="", choices=["", "int8"])
     vqa = subs.add_parser(
         "eval-vqa", help="VQA benchmark runners (MME/POPE/MMBench/SEED/"
         "ScienceQA/MM-Vet/jsonl suites)")
@@ -182,6 +195,7 @@ def main(argv=None):
     vqa.add_argument("--limit", type=int, default=None)
     vqa.add_argument("--tiny", action="store_true")
     vqa.add_argument("--max-new-tokens", type=int, default=None)
+    vqa.add_argument("--quant", default="", choices=["", "int8"])
     tr = subs.add_parser("train")
     tr.add_argument("--model-config", default=None)
     tr.add_argument("--data", required=True,

@@ -56,6 +56,9 @@ class LLMConfig:
     # LoRA (reference wrap_llm_lora: r=32, alpha=64 on qkvo + MLP)
     lora_r: int = 0
     lora_alpha: float = 64.0
+    # serving-only: "" (bf16) | "int8" — int8 weight-only matmuls
+    # (ops/quant.py); params produced by quantize_llm_params
+    quant: str = ""
 
     @property
     def head_dim(self) -> int:

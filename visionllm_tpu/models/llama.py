@@ -71,6 +71,10 @@ class LlamaDecoderLayer(nn.Module):
             dense = lambda feats, name: LoraDense(
                 feats, cfg.lora_r, cfg.lora_alpha, dtype=self.dtype,
                 name=name)
+        elif cfg.quant == "int8":
+            from visionllm_tpu.ops.quant import Int8Dense
+            dense = lambda feats, name: Int8Dense(
+                feats, dtype=self.dtype, name=name)
         else:
             dense = lambda feats, name: nn.Dense(
                 feats, use_bias=False, dtype=self.dtype, name=name)
@@ -151,8 +155,13 @@ class LlamaModel(nn.Module):
         )(cfg, self.dtype, name="layers")
         self.norm = RMSNorm(eps=cfg.rms_norm_eps, dtype=self.dtype,
                             name="norm")
-        self.lm_head = nn.Dense(cfg.vocab_size, use_bias=False,
-                                dtype=self.dtype, name="lm_head")
+        if cfg.quant == "int8":
+            from visionllm_tpu.ops.quant import Int8Dense
+            self.lm_head = Int8Dense(cfg.vocab_size, dtype=self.dtype,
+                                     name="lm_head")
+        else:
+            self.lm_head = nn.Dense(cfg.vocab_size, use_bias=False,
+                                    dtype=self.dtype, name="lm_head")
 
     def embed(self, input_ids: jnp.ndarray) -> jnp.ndarray:
         return self.embed_tokens(input_ids)

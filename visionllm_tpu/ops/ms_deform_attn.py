@@ -394,14 +394,20 @@ def ms_deform_attn_quad(
     #   einsum consumer   f32 28.8 ms   bf16 24.0 ms
     #   fused consumer    f32 10.2 ms   bf16  7.0 ms   (this code)
     #   pure row-gather floor: 3.6 ms (473M rows/s, table-dtype bound)
-    N = B * H * L * P * Q
-    rows = jnp.take(quad, gidx.reshape(-1), axis=0)        # [N, 4D]
-    # f32 weights + f32 accumulation even for a bf16 table: the sums
-    # over 64 (l, p, corner) samples stay fused, so the upcast costs
-    # nothing but keeps the output exact to the f32 weighting
-    w = wcell.reshape(N, 4, 1)
-    out_n = (rows.reshape(N, 4, D).astype(jnp.float32) * w).sum(1)
-    out = out_n.reshape(B, H, L * P, Q, D).sum(2)          # (l, p) reduce
+    # f32 weights + f32 accumulation even for a bf16 table: the upcast
+    # fuses into the gather consumer but XLA still materializes the f32
+    # gathered-rows buffer ([N, 4D]); gathering ALL levels at once makes
+    # that buffer B·H·L·P·Q rows (1.33 GB + a layout copy at bs=4,
+    # 512 px — OOMs next to the 13 GB param tree), so gather + weighted
+    # reduce run per LEVEL: 4× smaller peak temp, identical row count,
+    # and each level's gather→convert→mul→sum chain still fuses.
+    N_l = B * H * P * Q
+    out = jnp.zeros((B, H, Q, D), jnp.float32)
+    for lvl in range(L):
+        rows = jnp.take(quad, gidx[:, :, lvl].reshape(-1), axis=0)
+        w_l = wcell[:, :, lvl].reshape(N_l, 4, 1)
+        out_l = (rows.reshape(N_l, 4, D).astype(jnp.float32) * w_l).sum(1)
+        out = out + out_l.reshape(B, H, P, Q, D).sum(2)    # p reduce
     return out.transpose(0, 2, 1, 3).reshape(B, Q, H * D).astype(value.dtype)
 
 
