@@ -163,3 +163,119 @@ def test_quantized_generation_serving_path():
     a, b = np.asarray(o["logits"]), np.asarray(qo["logits"])
     cos = float((a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b)))
     assert cos > 0.995
+
+
+# ---------------------------------------------------------------------------
+# int8 KV cache (serving: halves decode cache-read bandwidth)
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_kv_roundtrip():
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(0, 3, (2, 7, 4, 16)), jnp.float32)
+    from visionllm_tpu.ops.quant import quantize_kv
+    xq, s = quantize_kv(x)
+    assert xq.dtype == jnp.int8 and s.shape == (2, 7, 4)
+    deq = xq.astype(np.float32) * np.asarray(s, np.float32)[..., None]
+    err = np.abs(deq - np.asarray(x))
+    assert (err <= np.asarray(s, np.float32)[..., None] * 0.5 + 1e-6).all()
+
+
+def test_int8_kv_attention_matches_dequantized():
+    from visionllm_tpu.ops.quant import int8_kv_attention, quantize_kv
+    rng = np.random.default_rng(6)
+    B, Lq, H, H_kv, D, T = 2, 1, 4, 2, 16, 9
+    q = jnp.asarray(rng.normal(0, 1, (B, Lq, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 1, (B, T, H_kv, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(0, 1, (B, T, H_kv, D)), jnp.float32)
+    kq, ks = quantize_kv(k)
+    vq, vs = quantize_kv(v)
+    mask = jnp.asarray(rng.uniform(size=(B, 1, Lq, T)) > 0.3)
+    mask = mask.at[:, :, :, 0].set(True)   # keep at least one key
+    out = int8_kv_attention(q, kq, ks, vq, vs, mask)
+
+    # oracle: plain attention over the DEQUANTIZED cache
+    from visionllm_tpu.ops.attention import _einsum_attention
+    kd = (kq.astype(jnp.float32) * ks.astype(jnp.float32)[..., None])
+    vd = (vq.astype(jnp.float32) * vs.astype(jnp.float32)[..., None])
+    ref = _einsum_attention(q, kd, vd, mask, D ** -0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_int8_kv_cache_decode_tracks_bf16():
+    params = _init_params()
+    model = LlamaModel(TINY, jnp.float32)
+    rng = np.random.default_rng(7)
+    embeds = jnp.asarray(rng.normal(0, 1, (1, 6, TINY.hidden_size)),
+                         jnp.float32)
+    pos = jnp.arange(6)[None, :]
+
+    caches = {}
+    logits = {}
+    for name, dt in (("bf16", jnp.float32), ("int8", jnp.int8)):
+        cache = KVCache.create(TINY, 1, 32, dt)
+        if name == "int8":
+            assert cache.k.dtype == jnp.int8
+            assert cache.k_scale.shape == (TINY.num_layers, 1, 32,
+                                           TINY.num_kv_heads)
+        _, lg, cache = model.apply({"params": params}, embeds, pos,
+                                   cache=cache)
+        steps = []
+        for i in range(3):
+            step = jnp.asarray(rng.normal(0, 1, (1, 1, TINY.hidden_size)),
+                               jnp.float32)
+            steps.append(step)
+        rng = np.random.default_rng(7)     # reset so both runs match
+        caches[name] = cache
+        logits[name] = lg
+
+    # decode 3 steps with the SAME inputs through both cache modes
+    outs = {}
+    for name in ("bf16", "int8"):
+        cache = caches[name]
+        srng = np.random.default_rng(8)
+        ls = []
+        for i in range(3):
+            step = jnp.asarray(srng.normal(0, 1, (1, 1, TINY.hidden_size)),
+                               jnp.float32)
+            _, lg, cache = model.apply(
+                {"params": params}, step,
+                jnp.full((1, 1), 6 + i, jnp.int32), cache=cache)
+            ls.append(np.asarray(lg)[0, 0])
+        outs[name] = np.stack(ls)
+        assert int(cache.index) == 9
+
+    a, b = outs["bf16"], outs["int8"]
+    cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.999
+    assert (np.argmax(a, -1) == np.argmax(b, -1)).mean() >= 2 / 3
+
+
+def test_int8_kv_generation_serving_path():
+    """kv_quant=int8 through the public generate fn (CLI --kv-quant)."""
+    from visionllm_tpu.config import tiny_test_config
+    from visionllm_tpu.generation import build_generate_fn
+    from visionllm_tpu.models.visionllm import SpecialTokenIds, VisionLLM
+
+    cfg = tiny_test_config()
+    qcfg = dataclasses.replace(
+        cfg, llm=dataclasses.replace(cfg.llm, kv_quant="int8"))
+    tid = SpecialTokenIds.synthetic()
+    model = VisionLLM(cfg, dtype=jnp.float32)
+    qmodel = VisionLLM(qcfg, dtype=jnp.float32)
+    img_len = cfg.vis_encoder.num_patches
+    ids = jnp.asarray([[1, 5, 6] + [tid.imp] * img_len + [7]], jnp.int32)
+    size = cfg.vis_encoder.image_size
+    images = jnp.zeros((1, size, size, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), ids, images, tid)["params"]
+
+    gen = build_generate_fn(model, tid, max_new_tokens=6, max_len=64)
+    qgen = build_generate_fn(qmodel, tid, max_new_tokens=6, max_len=64)
+    out = gen(params, ids, images)
+    qout = qgen(params, ids, images)
+    toks = np.asarray(qout["out_tokens"][0])
+    n = int(qout["num_generated"])
+    assert 1 <= n <= 6 and (toks >= 0).all()
+    # first generated token comes from the exact bf16 prefill → identical
+    assert int(out["out_tokens"][0, 0]) == int(qout["out_tokens"][0, 0])

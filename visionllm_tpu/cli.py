@@ -33,10 +33,12 @@ def _load_model_and_params(args, tiny: bool = False):
             cfg = VisionLLMConfig.from_dict(json.load(f))
     else:
         cfg = tiny_test_config() if tiny else vllm_7b_config()
-    if getattr(args, "quant", ""):
+    if getattr(args, "quant", "") or getattr(args, "kv_quant", ""):
         import dataclasses
         cfg = dataclasses.replace(
-            cfg, llm=dataclasses.replace(cfg.llm, quant=args.quant))
+            cfg, llm=dataclasses.replace(
+                cfg.llm, quant=getattr(args, "quant", ""),
+                kv_quant=getattr(args, "kv_quant", "")))
     model = VisionLLMWithTools(cfg, dtype=jnp.bfloat16)
     params = load_params_npz(args.ckpt) if args.ckpt else None
     if params is not None and getattr(args, "quant", ""):
@@ -109,6 +111,9 @@ def _common(sub):
     sub.add_argument("--quant", default="", choices=["", "int8"],
                      help="serving-only weight quantization of the LLM "
                           "matmuls (ops/quant.py)")
+    sub.add_argument("--kv-quant", default="", choices=["", "int8"],
+                     help="serving-only int8 KV-cache storage "
+                          "(per-token/head scales, ops/quant.py)")
     _dist_flags(sub)
 
 
@@ -179,6 +184,7 @@ def main(argv=None):
     reg.add_argument("--tiny", action="store_true")
     reg.add_argument("--max-new-tokens", type=int, default=None)
     reg.add_argument("--quant", default="", choices=["", "int8"])
+    reg.add_argument("--kv-quant", default="", choices=["", "int8"])
     vqa = subs.add_parser(
         "eval-vqa", help="VQA benchmark runners (MME/POPE/MMBench/SEED/"
         "ScienceQA/MM-Vet/jsonl suites)")
@@ -196,6 +202,7 @@ def main(argv=None):
     vqa.add_argument("--tiny", action="store_true")
     vqa.add_argument("--max-new-tokens", type=int, default=None)
     vqa.add_argument("--quant", default="", choices=["", "int8"])
+    vqa.add_argument("--kv-quant", default="", choices=["", "int8"])
     tr = subs.add_parser("train")
     tr.add_argument("--model-config", default=None)
     tr.add_argument("--data", required=True,

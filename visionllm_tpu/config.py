@@ -59,6 +59,9 @@ class LLMConfig:
     # serving-only: "" (bf16) | "int8" — int8 weight-only matmuls
     # (ops/quant.py); params produced by quantize_llm_params
     quant: str = ""
+    # serving-only KV-cache storage: "" (model dtype) | "int8" —
+    # per-(token, head)-scaled int8 cache, halves decode cache reads
+    kv_quant: str = ""
 
     @property
     def head_dim(self) -> int:

@@ -153,7 +153,9 @@ def build_generate_fn(
         recognition/classification evals, eval_region_caption_refcoco.py
         :176-179)."""
         B, L = input_ids.shape
-        cache = KVCache.create(cfg.llm, B, max_len, dtype=model.dtype)
+        cache_dtype = (jnp.int8 if cfg.llm.kv_quant == "int8"
+                       else model.dtype)
+        cache = KVCache.create(cfg.llm, B, max_len, dtype=cache_dtype)
         out = model.apply({"params": params}, input_ids, images, tid,
                           cache=cache, regions=regions)
         logits, cache = out["logits"], out["cache"]

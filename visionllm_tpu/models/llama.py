@@ -38,12 +38,22 @@ class KVCache:
     k: jnp.ndarray          # [n_layers, B, max_len, H_kv, D]
     v: jnp.ndarray          # [n_layers, B, max_len, H_kv, D]
     index: jnp.ndarray      # scalar int32 — number of tokens already cached
+    # int8 cache mode (serving): k/v stored int8 with per-(token, head)
+    # bf16 scales — halves decode cache-read bandwidth (ops/quant.py)
+    k_scale: Optional[jnp.ndarray] = None   # [n_layers, B, max_len, H_kv]
+    v_scale: Optional[jnp.ndarray] = None
 
     @classmethod
     def create(cls, cfg: LLMConfig, batch: int, max_len: int,
                dtype=jnp.bfloat16) -> "KVCache":
         shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads,
                  cfg.head_dim)
+        if dtype == jnp.int8:
+            return cls(k=jnp.zeros(shape, jnp.int8),
+                       v=jnp.zeros(shape, jnp.int8),
+                       index=jnp.zeros((), jnp.int32),
+                       k_scale=jnp.ones(shape[:-1], jnp.bfloat16),
+                       v_scale=jnp.ones(shape[:-1], jnp.bfloat16))
         return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
                    index=jnp.zeros((), jnp.int32))
 
@@ -54,11 +64,13 @@ class LlamaDecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, hidden, cos, sin, attn_bias, cache_index, k_cache,
-                 v_cache):
-        """One block. Returns (hidden, (new_k_cache, new_v_cache)).
+                 v_cache, ks_cache=None, vs_cache=None):
+        """One block. Returns (hidden, (new_k, new_v, new_ks, new_vs)).
 
         k_cache/v_cache are this layer's [B, max_len, H_kv, D] slices (or
-        None when running cache-less).
+        None when running cache-less); int8 caches additionally carry
+        per-(token, head) scale slices ks_cache/vs_cache [B, max_len,
+        H_kv].
         """
         cfg = self.cfg
         B, L, _ = hidden.shape
@@ -86,9 +98,31 @@ class LlamaDecoderLayer(nn.Module):
         v = v.reshape(B, L, cfg.num_kv_heads, cfg.head_dim)
         q, k = apply_rope(q, k, cos, sin)
 
+        new_ks = new_vs = None
         if k_cache is None:
             attn = multi_head_attention(q, k, v, mask=attn_bias, causal=True)
             new_k = new_v = None
+        elif k_cache.dtype == jnp.int8:
+            from visionllm_tpu.ops.quant import (int8_kv_attention,
+                                                 quantize_kv)
+            kq, ks = quantize_kv(k)
+            vq, vs = quantize_kv(v)
+            new_k = jax.lax.dynamic_update_slice(
+                k_cache, kq, (0, cache_index, 0, 0))
+            new_v = jax.lax.dynamic_update_slice(
+                v_cache, vq, (0, cache_index, 0, 0))
+            new_ks = jax.lax.dynamic_update_slice(
+                ks_cache, ks, (0, cache_index, 0))
+            new_vs = jax.lax.dynamic_update_slice(
+                vs_cache, vs, (0, cache_index, 0))
+            if L > 1:
+                # prefill attends the fresh bf16 window — exact; only the
+                # cached history that DECODE reads back is quantized
+                attn = multi_head_attention(q, k, v, mask=attn_bias,
+                                            causal=True)
+            else:
+                attn = int8_kv_attention(q, new_k, new_ks, new_v, new_vs,
+                                         mask=attn_bias)
         else:
             new_k = jax.lax.dynamic_update_slice(
                 k_cache, k.astype(k_cache.dtype), (0, cache_index, 0, 0))
@@ -115,7 +149,7 @@ class LlamaDecoderLayer(nn.Module):
         up = dense(cfg.intermediate_size, "up_proj")(x)
         hidden = residual + dense(cfg.hidden_size, "down_proj")(
             nn.silu(gate) * up)
-        return hidden, (new_k, new_v)
+        return hidden, (new_k, new_v, new_ks, new_vs)
 
 
 class _ScannedLayer(nn.Module):
@@ -127,10 +161,11 @@ class _ScannedLayer(nn.Module):
     @nn.compact
     def __call__(self, carry, layer_cache):
         hidden, cos, sin, attn_bias, cache_index = carry
-        k_cache, v_cache = layer_cache
+        k_cache, v_cache, ks_cache, vs_cache = layer_cache
         hidden, new_cache = LlamaDecoderLayer(
             self.cfg, self.dtype, name="layer")(
-                hidden, cos, sin, attn_bias, cache_index, k_cache, v_cache)
+                hidden, cos, sin, attn_bias, cache_index, k_cache, v_cache,
+                ks_cache, vs_cache)
         return (hidden, cos, sin, attn_bias, cache_index), new_cache
 
 
@@ -197,8 +232,8 @@ class LlamaModel(nn.Module):
         hidden = inputs_embeds.astype(self.dtype)
         cache_index = cache.index if cache is not None else jnp.zeros(
             (), jnp.int32)
-        layer_cache = ((cache.k, cache.v) if cache is not None
-                       else (None, None))
+        layer_cache = ((cache.k, cache.v, cache.k_scale, cache.v_scale)
+                       if cache is not None else (None, None, None, None))
         (hidden, *_), new_layer_cache = self.layers(
             (hidden, cos, sin, bias, cache_index), layer_cache)
 
@@ -209,6 +244,7 @@ class LlamaModel(nn.Module):
 
         new_cache = None
         if cache is not None:
-            new_k, new_v = new_layer_cache
-            new_cache = KVCache(k=new_k, v=new_v, index=cache.index + L)
+            new_k, new_v, new_ks, new_vs = new_layer_cache
+            new_cache = KVCache(k=new_k, v=new_v, index=cache.index + L,
+                                k_scale=new_ks, v_scale=new_vs)
         return hidden, logits, new_cache

@@ -390,9 +390,12 @@ def ms_deform_attn_quad(
     # to materialize the gathered rows tensor ([B,H,LP,Q,4,D] = 870 MB
     # at the 800px scale) as a matmul operand, which dominated the whole
     # op. The elementwise form loop-fuses into the gather consumer.
-    # Measured 800px encoder scale (S=Q=13294, H=8, D=32), v5e:
-    #   einsum consumer   f32 28.8 ms   bf16 24.0 ms
-    #   fused consumer    f32 10.2 ms   bf16  7.0 ms   (this code)
+    # Measured 800px encoder scale (S=Q=13294, H=8, D=32), v5e,
+    # chained-slope timing (serialized iterations — single-call timings
+    # through the axon relay are unreliable):
+    #   einsum consumer            f32 28.8 ms   bf16 24.0 ms
+    #   fused consumer, f32 rows   bf16 table   11.7 ms
+    #   fused consumer + barrier   bf16 table    9.3 ms   (this code)
     #   pure row-gather floor: 3.6 ms (473M rows/s, table-dtype bound)
     # f32 weights + f32 accumulation even for a bf16 table: the upcast
     # fuses into the gather consumer but XLA still materializes the f32
@@ -401,10 +404,17 @@ def ms_deform_attn_quad(
     # 512 px — OOMs next to the 13 GB param tree), so gather + weighted
     # reduce run per LEVEL: 4× smaller peak temp, identical row count,
     # and each level's gather→convert→mul→sum chain still fuses.
+    # The barrier after each gather pins its output buffer at the TABLE
+    # dtype: without it XLA fuses the f32 convert into the gather and
+    # materializes the gathered rows at f32 width (2× the bytes written
+    # AND re-read by the consumer — measured 11.7 → 9.3 ms/layer at
+    # 800px, bit-identical output since the convert still runs in f32
+    # registers inside the fused multiply-reduce).
     N_l = B * H * P * Q
     out = jnp.zeros((B, H, Q, D), jnp.float32)
     for lvl in range(L):
         rows = jnp.take(quad, gidx[:, :, lvl].reshape(-1), axis=0)
+        rows = jax.lax.optimization_barrier(rows)
         w_l = wcell[:, :, lvl].reshape(N_l, 4, 1)
         out_l = (rows.reshape(N_l, 4, D).astype(jnp.float32) * w_l).sum(1)
         out = out + out_l.reshape(B, H, P, Q, D).sum(2)    # p reduce

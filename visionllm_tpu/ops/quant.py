@@ -85,6 +85,64 @@ class Int8Dense(nn.Module):
         return y * scale.astype(self.dtype)
 
 
+def quantize_kv(x: jnp.ndarray):
+    """Per-(token, head) symmetric int8 quantization of a K or V block.
+
+    ``x`` is ``[..., D]`` (head_dim last); the scale reduces over D only,
+    so every cached token/head pair keeps its own dynamic range — RoPE'd
+    keys vary in magnitude per position, a coarser scale would clip them.
+    Returns ``(x_q int8, scale bf16[...])``.
+    """
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(amax / 127.0, 1e-8).astype(jnp.bfloat16)
+    xq = jnp.clip(
+        jnp.round(x.astype(jnp.float32)
+                  / scale[..., None].astype(jnp.float32)),
+        -127, 127).astype(jnp.int8)
+    return xq, scale
+
+
+def int8_kv_attention(
+    q: jnp.ndarray,          # [B, Lq, H, D]
+    k_q: jnp.ndarray,        # [B, T, H_kv, D] int8
+    k_s: jnp.ndarray,        # [B, T, H_kv] bf16
+    v_q: jnp.ndarray,        # [B, T, H_kv, D] int8
+    v_s: jnp.ndarray,        # [B, T, H_kv] bf16
+    mask,                    # broadcastable to [B, H, Lq, T], True=attend
+) -> jnp.ndarray:
+    """Decode attention over an int8 KV cache without dequantizing it.
+
+    The cache read is the bandwidth cost, so the int8 rows feed the dots
+    directly (the int8→bf16 convert fuses into the matmul operand load)
+    and the per-(token, head) scales fold into the SCORES: for keys,
+    ``q·(k_q s_k) = (q·k_q) s_k`` scales the score matrix; for values,
+    ``Σ_t p_t (v_q_t s_t) = Σ_t (p_t s_t) v_q_t`` scales the softmax
+    weights before the PV matmul. Both are [B,H,Lq,T]-shaped elementwise
+    ops — O(T) per query, never O(T·D).
+    """
+    B, Lq, H, D = q.shape
+    H_kv = k_q.shape[2]
+    if H_kv != H:  # GQA
+        rep = H // H_kv
+        k_q = jnp.repeat(k_q, rep, axis=2)
+        v_q = jnp.repeat(v_q, rep, axis=2)
+        k_s = jnp.repeat(k_s, rep, axis=2)
+        v_s = jnp.repeat(v_s, rep, axis=2)
+    scale = D ** -0.5
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k_q.astype(q.dtype),
+                        preferred_element_type=jnp.float32)
+    scores = scores * k_s.astype(jnp.float32).transpose(0, 2, 1)[:, :, None, :]
+    scores = scores * scale
+    if mask is not None:
+        scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = probs * v_s.astype(jnp.float32).transpose(0, 2, 1)[:, :, None, :]
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q.dtype),
+                     v_q.astype(q.dtype),
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
 def _is_proj_kernel(path: tuple, leaf_name: str) -> bool:
     return leaf_name == "kernel" and any(
         p in _PROJ_NAMES for p in path)
