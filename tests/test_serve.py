@@ -1,0 +1,97 @@
+"""HTTP serving front-end: ChatService + /v1/generate end-to-end.
+
+Tiny random-init model + mock tokenizer; the server must answer health
+checks, generate text for prompts with and without an image, and reject
+malformed requests — all over a real socket."""
+
+import base64
+import json
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.mock_tokenizer import MockTokenizer
+from visionllm_tpu.config import tiny_test_config
+from visionllm_tpu.serve import ChatService, make_server
+
+
+@pytest.fixture(scope="module")
+def server():
+    cfg = tiny_test_config(use_gdino=False, use_unipose=False,
+                           use_sd=False, use_ip2p=False,
+                           use_region_encoder=False)
+    tok = MockTokenizer()
+    svc = ChatService.__new__(ChatService)
+    # build through __init__ but with f32 + tiny budgets
+    svc.__init__(cfg, None, tok, image_size=cfg.vis_encoder.image_size,
+                 max_new_tokens=8, max_prompt=128, dtype=jnp.float32)
+    # random-init params shaped by a probe prompt (smoke serving without
+    # a checkpoint, same idiom as cli smoke runs)
+    size = cfg.vis_encoder.image_size
+    img_len = (size // 14) ** 2
+    ids = jnp.asarray([[1] + [svc.tid.imp] * img_len + [5, 6]], jnp.int32)
+    svc.params = svc.core.init(
+        jax.random.PRNGKey(0), ids,
+        jnp.zeros((1, size, size, 3), jnp.float32), svc.tid)["params"]
+
+    srv = make_server(svc, port=0, model_name="tiny-test")
+    port = srv.server_address[1]
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    yield f"http://127.0.0.1:{port}"
+    srv.shutdown()
+
+
+def _post(url, obj, timeout=240):
+    req = urllib.request.Request(
+        url, json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_healthz(server):
+    with urllib.request.urlopen(server + "/healthz", timeout=30) as r:
+        body = json.loads(r.read())
+    assert body["ok"] is True
+    assert body["model"] == "tiny-test"
+    assert body["devices"]
+
+
+def test_generate_with_image(server):
+    img = np.random.RandomState(0).randint(
+        0, 255, (64, 48, 3), np.uint8)
+    code, body = _post(server + "/v1/generate", {
+        "prompt": "describe the image",
+        "image_b64": base64.b64encode(img.tobytes()).decode(),
+        "image_shape": list(img.shape),
+    })
+    assert code == 200, body
+    assert isinstance(body["text"], str)
+    assert body["num_tokens"] >= 1
+    assert body["latency_s"] > 0
+
+
+def test_generate_text_only_and_deterministic(server):
+    code1, b1 = _post(server + "/v1/generate", {"prompt": "hello there"})
+    code2, b2 = _post(server + "/v1/generate", {"prompt": "hello there"})
+    assert code1 == code2 == 200
+    assert b1["text"] == b2["text"]        # greedy decode is deterministic
+
+
+def test_bad_request(server):
+    code, body = _post(server + "/v1/generate", {"image_b64": "xx"})
+    assert code == 400
+    assert "error" in body
+
+
+def test_unknown_route(server):
+    code, body = _post(server + "/v1/nope", {"prompt": "x"})
+    assert code == 404

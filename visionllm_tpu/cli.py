@@ -203,6 +203,19 @@ def main(argv=None):
     vqa.add_argument("--max-new-tokens", type=int, default=None)
     vqa.add_argument("--quant", default="", choices=["", "int8"])
     vqa.add_argument("--kv-quant", default="", choices=["", "int8"])
+    sv = subs.add_parser(
+        "serve", help="HTTP serving front-end (POST /v1/generate)")
+    sv.add_argument("--host", default="0.0.0.0")
+    sv.add_argument("--port", type=int, default=8000)
+    sv.add_argument("--ckpt", default=None)
+    sv.add_argument("--model-config", default=None)
+    sv.add_argument("--tokenizer", default=None)
+    sv.add_argument("--tiny", action="store_true")
+    sv.add_argument("--max-new-tokens", type=int, default=256)
+    sv.add_argument("--max-prompt", type=int, default=1024)
+    sv.add_argument("--conv", default="vicuna_v1")
+    sv.add_argument("--quant", default="", choices=["", "int8"])
+    sv.add_argument("--kv-quant", default="", choices=["", "int8"])
     tr = subs.add_parser("train")
     tr.add_argument("--model-config", default=None)
     tr.add_argument("--data", required=True,
@@ -321,6 +334,32 @@ def main(argv=None):
                                  image_size=cfg.vis_encoder.image_size)
         res.pop("predictions", None)
         print(json.dumps(res))
+    elif args.cmd == "serve":
+        import jax
+        import jax.numpy as jnp
+        from visionllm_tpu.serve import ChatService, serve
+        from visionllm_tpu.utils.simple_tokenizer import MockTokenizer
+        cfg, model, params, tok, tid = _load_model_and_params(
+            args, args.tiny)
+        tok = tok or MockTokenizer()
+        svc = ChatService(
+            cfg, None, tok, image_size=cfg.vis_encoder.image_size,
+            conv_version=args.conv, max_new_tokens=args.max_new_tokens,
+            max_prompt=args.max_prompt,
+            dtype=jnp.float32 if args.tiny else jnp.bfloat16)
+        if params is not None:
+            svc.params = params["core"] if "core" in params else params
+        else:
+            # random-init smoke serving (no checkpoint)
+            size = cfg.vis_encoder.image_size
+            img_len = (size // 14) ** 2
+            ids = jnp.asarray([[1] + [svc.tid.imp] * img_len + [5]],
+                              jnp.int32)
+            svc.params = svc.core.init(
+                jax.random.PRNGKey(0), ids,
+                jnp.zeros((1, size, size, 3), jnp.float32),
+                svc.tid)["params"]
+        serve(svc, args.host, args.port)
     elif args.cmd == "train":
         import jax.numpy as jnp
         from visionllm_tpu.config import tiny_test_config, vllm_7b_config

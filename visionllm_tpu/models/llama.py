@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from visionllm_tpu.config import LLMConfig
 from visionllm_tpu.models.common import RMSNorm, apply_rope, rope_cos_sin
 from visionllm_tpu.ops.attention import multi_head_attention
+from visionllm_tpu.parallel.sequence import constrain_seq
 
 
 @flax.struct.dataclass
@@ -149,6 +150,9 @@ class LlamaDecoderLayer(nn.Module):
         up = dense(cfg.intermediate_size, "up_proj")(x)
         hidden = residual + dense(cfg.hidden_size, "down_proj")(
             nn.silu(gate) * up)
+        # sequence parallelism: under a mesh with a context axis, pin
+        # block outputs sequence-sharded (no-op otherwise)
+        hidden = constrain_seq(hidden)
         return hidden, (new_k, new_v, new_ks, new_vs)
 
 
@@ -213,6 +217,7 @@ class LlamaModel(nn.Module):
         """Returns (hidden_after_final_norm, logits_fp32, new_cache)."""
         cfg = self.cfg
         B, L, _ = inputs_embeds.shape
+        inputs_embeds = constrain_seq(inputs_embeds)
         cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta,
                                 dtype=self.dtype)
 

@@ -4,3 +4,4 @@ from visionllm_tpu.parallel.mesh import (
     shard_batch,
     shard_params,
 )
+from visionllm_tpu.parallel.sequence import constrain_seq
