@@ -661,6 +661,46 @@ def main():
                         for leaf in jax.tree.leaves(cacheL):
                             leaf.delete()
                         del ldec, cacheL
+
+                    # ---- batched serving decode (aggregate tok/s) ----
+                    # decode is HBM-bound on the weight tree, so B
+                    # concurrent streams amortize the same bytes/step:
+                    # aggregate tok/s scales ~linearly until the cache
+                    # reads dominate. The state machine is [B]-
+                    # vectorized (tests/test_generation_batched.py
+                    # proves token parity vs per-sample), so this is
+                    # the real serving configuration, not a synthetic.
+                    B_DEC = 8
+                    if left() > 60:
+                        cacheB = KVCache.create(qcfg.llm, B_DEC, 512,
+                                                jnp.bfloat16)
+                        embedB = jnp.zeros((B_DEC, 1, hid),
+                                           jnp.bfloat16)
+                        t = time.time()
+                        bdec = jax.jit(qdecode_chain).lower(
+                            jnp.int32(DECODE_LO), qparams, cacheB,
+                            embedB).compile()
+                        log(f"decode bs{B_DEC} compile "
+                            f"{time.time()-t:.1f}s")
+
+                        def run_bdec(n):
+                            t = time.perf_counter()
+                            _ = float(bdec(jnp.int32(n), qparams,
+                                           cacheB, embedB))
+                            return time.perf_counter() - t
+
+                        t_b = _slope(run_bdec, DECODE_LO, DECODE_HI,
+                                     f"decode-bs{B_DEC}")
+                        result[f"decode_tok_s_int8_bs{B_DEC}"] = round(
+                            B_DEC / t_b, 2)
+                        log(f"decode int8 bs{B_DEC} {t_b*1e3:.2f} "
+                            f"ms/step → {B_DEC/t_b:.1f} tok/s aggregate")
+                        for leaf in jax.tree.leaves(cacheB):
+                            leaf.delete()
+                        del bdec, cacheB
+                    else:
+                        result[f"decode_bs{B_DEC}_skipped"] = (
+                            f"left {left():.0f}s")
                 else:
                     result["decode_int8_skipped"] = (
                         f"budget left {left():.0f}s")

@@ -47,6 +47,35 @@ def test_pipeline_matches_unsharded(n_layers, n_stages, n_micro):
                                atol=2e-4, rtol=2e-4)
 
 
+def test_pipeline_backward_matches_unsharded():
+    """PP training: jax autodiff flows through the GPipe schedule
+    (ppermute grads are reverse permutes) — parameter gradients must
+    equal the plain model's."""
+    cfg, params, embeds, pos, _ = _setup(4)
+    model = LlamaModel(cfg, dtype=jnp.float32)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("pipe",))
+
+    def loss_plain(p):
+        _, logits, _ = model.apply({"params": p}, embeds, pos)
+        return jnp.sum(logits ** 2) / logits.size
+
+    def loss_pp(p):
+        logits = pipeline_llm_forward(cfg, p, embeds, pos, mesh,
+                                      n_microbatch=2)
+        return jnp.sum(logits ** 2) / logits.size
+
+    g_plain = jax.jit(jax.grad(loss_plain))(params)
+    g_pp = jax.jit(jax.grad(loss_pp))(params)
+    flat_a = jax.tree_util.tree_leaves_with_path(g_plain)
+    flat_b = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(g_pp)}
+    for k, va in flat_a:
+        vb = flat_b[jax.tree_util.keystr(k)]
+        np.testing.assert_allclose(
+            np.asarray(va), np.asarray(vb), atol=5e-5, rtol=5e-4,
+            err_msg=jax.tree_util.keystr(k))
+
+
 def test_pipeline_rejects_indivisible():
     cfg, params, embeds, pos, _ = _setup(4)
     mesh = Mesh(np.array(jax.devices()[:3]), ("pipe",))

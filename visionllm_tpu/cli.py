@@ -224,6 +224,8 @@ def main(argv=None):
     tr.add_argument("--output", default="output")
     tr.add_argument("--batch-size", type=int, default=8)
     tr.add_argument("--steps", type=int, default=1000)
+    tr.add_argument("--num-workers", type=int, default=2,
+                    help="prefetch loader threads (0 = synchronous)")
     tr.add_argument("--tiny", action="store_true")
     _dist_flags(tr)
     args = parser.parse_args(argv)
@@ -378,7 +380,8 @@ def main(argv=None):
             tid = SpecialTokenIds.synthetic()
         tc = TrainConfig(output_dir=args.output,
                          batch_size=args.batch_size,
-                         total_steps=args.steps)
+                         total_steps=args.steps,
+                         num_workers=args.num_workers)
         Trainer(cfg, tc, tid).train(ds_cfgs, tokenizer)
     else:
         parser.error(f"unknown command {args.cmd}")

@@ -44,8 +44,16 @@ def expand2square(img: np.ndarray, background: Sequence[float]) -> np.ndarray:
 
 def resize_image(img: np.ndarray, size: Tuple[int, int],
                  method: str = "bilinear") -> np.ndarray:
-    """HWC resize via PIL (matches torchvision/PIL results the reference
-    pipelines produce)."""
+    """HWC resize matching torchvision/PIL results the reference
+    pipelines produce. Fast path: the native fixed-point kernel
+    (ops/native/imageproc.cc — bit-compatible with Pillow's resampler
+    and GIL-releasing, so loader worker threads scale); falls back to
+    PIL when no toolchain is available."""
+    if img.dtype == np.uint8:
+        from visionllm_tpu.data.native_image import resize_u8
+        out = resize_u8(img, size, method)
+        if out is not None:
+            return out
     from PIL import Image
     pil = Image.fromarray(img.astype(np.uint8) if img.dtype != np.uint8
                           else img)

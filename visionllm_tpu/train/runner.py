@@ -49,6 +49,7 @@ class TrainConfig:
     save_every: int = 1000
     seed: int = 0
     n_model: int = 1                  # TP axis size
+    num_workers: int = 2              # prefetch loader threads (0 = sync)
     num_obj_patches: int = 1          # pose obj/kpt query split
     optimizer: OptimizerConfig = dataclasses.field(
         default_factory=OptimizerConfig)
@@ -178,15 +179,29 @@ class Trainer:
         step_i = int(state.step)
         limit = max_steps or tc.total_steps
         ckpt_dir = os.path.join(tc.output_dir, "checkpoints")
+        # prefetch loader: batch N+1.. builds on worker threads (native
+        # GIL-releasing image kernels) while the chip runs step N
+        from visionllm_tpu.data.loader import PrefetchLoader
+
+        class _Indexed:
+            def __getitem__(_, i):
+                return i, concat[i]
+
+        def _coll(pairs):
+            idx = [p[0] for p in pairs]
+            batch = collate([p[1] for p in pairs])
+            batch.pop("img_metas", None)
+            batch.pop("captions", None)
+            return idx, batch
+
+        loader = PrefetchLoader(_Indexed(), [first_idx] + list(it),
+                                _coll, num_workers=tc.num_workers)
         with self.mesh:
-            for idx in [first_idx] + list(it):
+            for idx, batch in loader:
                 if step_i >= limit:
                     break
                 task = concat.task_of(idx[0])
                 group = group_of_task(task)
-                batch = collate([concat[i] for i in idx])
-                batch.pop("img_metas", None)
-                batch.pop("captions", None)
                 rng, sub = jax.random.split(rng)
                 jitted, batch_sh = self._jit_for(group, state, batch)
                 batch_dev = jax.device_put(batch, batch_sh)
