@@ -76,3 +76,55 @@ def test_batched_tool_countdown_stays_per_sample(setup):
             prev = toks[b, pos[0] - 1]
             assert prev in (tid.det, tid.seg, tid.grd, tid.pose,
                             tid.emb, tid.emb + 1, tid.emb + 2)
+
+
+def test_left_padded_batch_matches_unpadded(setup):
+    """Serving configuration: mixed-length prompts LEFT-padded to one
+    compiled length under attn_mask, images as [B, 1, S, S, 3] tile
+    stacks (per-sample feature scatter). Tokens must match each prompt
+    generated alone, unpadded."""
+    gen, params, ids, imgs = setup
+    B, L = ids.shape
+    pad = 7
+    Lp = L + pad
+    ids_p = np.zeros((B, Lp), np.int32)
+    mask = np.zeros((B, Lp), bool)
+    for b in range(B):
+        # trim a different number of trailing tokens per row so the
+        # batch is genuinely mixed-length
+        n = L - b
+        ids_p[b, Lp - n:] = ids[b, :n]
+        mask[b, Lp - n:] = True
+    outB = gen(params, jnp.asarray(ids_p), jnp.asarray(imgs)[:, None],
+               attn_mask=jnp.asarray(mask),
+               live=jnp.ones((B,), bool))
+    toksB = np.asarray(outB["out_tokens"])
+    for b in range(B):
+        out1 = gen(params, jnp.asarray(ids[b:b + 1, :L - b]),
+                   jnp.asarray(imgs[b:b + 1]))
+        np.testing.assert_array_equal(
+            toksB[b], np.asarray(out1["out_tokens"][0]),
+            err_msg=f"row {b}")
+
+
+def test_dead_rows_do_not_extend_or_leak(setup):
+    """live=False rows (partially full serving batch) start done: they
+    record nothing and the live rows' tokens are unchanged."""
+    gen, params, ids, imgs = setup
+    B, L = ids.shape
+    live = np.array([True, False, True])
+    mask = np.ones((B, L), bool)
+    mask[1] = False                       # dead row is all padding
+    ids_d = ids.copy()
+    ids_d[1] = 0
+    imgs_d = imgs.copy()
+    imgs_d[1] = 0.0
+    out = gen(params, jnp.asarray(ids_d), jnp.asarray(imgs_d)[:, None],
+              attn_mask=jnp.asarray(mask), live=jnp.asarray(live))
+    toks = np.asarray(out["out_tokens"])
+    assert np.all(toks[1, 1:] == 0), "dead row recorded tokens"
+    for b in (0, 2):
+        ref = gen(params, jnp.asarray(ids[b:b + 1]),
+                  jnp.asarray(imgs[b:b + 1]))
+        np.testing.assert_array_equal(
+            toks[b], np.asarray(ref["out_tokens"][0]), err_msg=f"row {b}")

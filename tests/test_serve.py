@@ -95,3 +95,76 @@ def test_bad_request(server):
 def test_unknown_route(server):
     code, body = _post(server + "/v1/nope", {"prompt": "x"})
     assert code == 404
+
+
+@pytest.fixture(scope="module")
+def batched_server():
+    """Same tiny model but max_batch=3 with a generous window so three
+    concurrent requests coalesce into ONE [3]-vectorized generate."""
+    cfg = tiny_test_config(use_gdino=False, use_unipose=False,
+                           use_sd=False, use_ip2p=False,
+                           use_region_encoder=False)
+    tok = MockTokenizer()
+    svc = ChatService(cfg, None, tok,
+                      image_size=cfg.vis_encoder.image_size,
+                      max_new_tokens=8, max_prompt=128,
+                      max_batch=3, batch_window_ms=400.0,
+                      dtype=jnp.float32)
+    size = cfg.vis_encoder.image_size
+    img_len = (size // 14) ** 2
+    ids = jnp.asarray([[1] + [svc.tid.imp] * img_len + [5, 6]], jnp.int32)
+    svc.params = svc.core.init(
+        jax.random.PRNGKey(0), ids,
+        jnp.zeros((1, size, size, 3), jnp.float32), svc.tid)["params"]
+
+    srv = make_server(svc, port=0, model_name="tiny-batched")
+    port = srv.server_address[1]
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    yield f"http://127.0.0.1:{port}", svc
+    srv.shutdown()
+
+
+def test_microbatched_concurrent_requests(batched_server):
+    """Three different prompts posted concurrently must each get the
+    same answer they get when asked alone (micro-batching is invisible
+    to clients)."""
+    url, svc = batched_server
+    img = np.random.RandomState(1).randint(0, 255, (40, 56, 3), np.uint8)
+    reqs = [
+        {"prompt": "what color is the sky"},
+        {"prompt": "count the objects please",
+         "image_b64": base64.b64encode(img.tobytes()).decode(),
+         "image_shape": list(img.shape)},
+        {"prompt": "hi"},
+    ]
+    # solo answers first (batch of one + dead rows)
+    solo = [_post(url + "/v1/generate", r) for r in reqs]
+    assert all(c == 200 for c, _ in solo), solo
+
+    results = [None] * len(reqs)
+
+    def fire(i):
+        results[i] = _post(url + "/v1/generate", reqs[i])
+
+    threads = [threading.Thread(target=fire, args=(i,))
+               for i in range(len(reqs))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    for i, ((sc, sb), r) in enumerate(zip(solo, results)):
+        assert r is not None, f"request {i} hung"
+        c, b = r
+        assert c == 200, b
+        assert b["text"] == sb["text"], f"request {i} answer changed"
+        assert b["num_tokens"] == sb["num_tokens"]
+
+
+def test_batched_service_single_request_ok(batched_server):
+    """A lone request on a max_batch=3 service (two dead rows) still
+    answers, after at most the batch window of extra latency."""
+    url, _ = batched_server
+    code, body = _post(url + "/v1/generate", {"prompt": "solo request"})
+    assert code == 200, body
+    assert isinstance(body["text"], str)

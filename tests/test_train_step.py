@@ -162,3 +162,100 @@ def test_gen_and_edit_train_steps():
     step_e = make_gen_train_step(model, tx_e, TID, edit=True)
     _, metrics_e = step_e(state_e, batch_e, jax.random.PRNGKey(2))
     assert np.isfinite(float(metrics_e["loss"]))
+
+
+@pytest.mark.slow
+def test_grad_accumulation_matches_single_step():
+    """grad_accum_steps=k (optax.MultiSteps): k identical micro-batches
+    accumulate into exactly one optimizer step — intermediate
+    micro-steps leave parameters untouched, and the applied update
+    equals the k=1 update on the same batch (mean of k identical grads
+    is the grad)."""
+    from visionllm_tpu.config import tiny_test_config as _ttc
+    cfg = _ttc(use_gdino=False, use_unipose=False, use_sd=False,
+               use_ip2p=False, use_region_encoder=False)
+    model = VisionLLMWithTools(cfg, dtype=jnp.float32,
+                               tool_dtype=jnp.float32)
+    img_len = cfg.vis_encoder.num_patches
+    ids = [1, 10, 11] + [TID.imp] * img_len + [12, 13, 14, 2]
+    input_ids = jnp.tile(jnp.asarray([ids], jnp.int32), (2, 1))
+    size = cfg.vis_encoder.image_size
+    batch = {
+        "input_ids": input_ids,
+        "labels": jnp.where(input_ids >= 10, input_ids, -100),
+        "attn_mask": jnp.ones_like(input_ids),
+        "images": jnp.zeros((2, size, size, 3), jnp.float32),
+    }
+    from visionllm_tpu.train.train_step import make_chat_train_step
+    params = model.init(jax.random.PRNGKey(0), batch, TID,
+                        method=VisionLLMWithTools.forward_chat)["params"]
+
+    opt = dict(learning_rate=5e-3, schedule="constant", total_steps=10)
+    tx1 = build_optimizer(OptimizerConfig(**opt), params)
+    txk = build_optimizer(OptimizerConfig(grad_accum_steps=2, **opt),
+                          params)
+
+    s1 = TrainState.create(params, tx1)
+    sk = TrainState.create(params, txk)
+    step1 = jax.jit(make_chat_train_step(model, tx1, TID))
+    stepk = jax.jit(make_chat_train_step(model, txk, TID))
+
+    sk_mid, _ = stepk(sk, batch, jax.random.PRNGKey(1))
+    # micro-step 1 of 2: parameters must NOT move yet
+    for a, b in zip(jax.tree_util.tree_leaves(sk_mid.params),
+                    jax.tree_util.tree_leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    sk_done, _ = stepk(sk_mid, batch, jax.random.PRNGKey(1))
+    s1_done, _ = step1(s1, batch, jax.random.PRNGKey(1))
+    flat_k = jax.tree_util.tree_leaves(sk_done.params)
+    flat_1 = jax.tree_util.tree_leaves(s1_done.params)
+    for a, b in zip(flat_k, flat_1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_grad_accumulation_sharded():
+    """MultiSteps optimizer state (grad accumulator mirrors the param
+    tree) shards under the FSDP/TP rules and the sharded accumulated
+    step still matches: params frozen at micro-step 1, moved at 2."""
+    mesh = build_mesh(n_data=4, n_model=2)
+    from visionllm_tpu.config import tiny_test_config as _ttc
+    cfg = _ttc(use_gdino=False, use_unipose=False, use_sd=False,
+               use_ip2p=False, use_region_encoder=False)
+    model = VisionLLMWithTools(cfg, dtype=jnp.float32,
+                               tool_dtype=jnp.float32)
+    img_len = cfg.vis_encoder.num_patches
+    ids = [1, 10, 11] + [TID.imp] * img_len + [12, 13, 14, 2]
+    input_ids = jnp.tile(jnp.asarray([ids], jnp.int32), (2, 1))
+    size = cfg.vis_encoder.image_size
+    batch = {
+        "input_ids": input_ids,
+        "labels": jnp.where(input_ids >= 10, input_ids, -100),
+        "attn_mask": jnp.ones_like(input_ids),
+        "images": jnp.zeros((2, size, size, 3), jnp.float32),
+    }
+    from visionllm_tpu.train.train_step import make_chat_train_step
+    params = model.init(jax.random.PRNGKey(0), batch, TID,
+                        method=VisionLLMWithTools.forward_chat)["params"]
+    tx = build_optimizer(OptimizerConfig(learning_rate=5e-3,
+                                         schedule="constant",
+                                         total_steps=10,
+                                         grad_accum_steps=2), params)
+    state = TrainState.create(params, tx)
+    step = make_chat_train_step(model, tx, TID)
+    with mesh:
+        jitted, state_s, batch_s = shard_train_step(step, mesh, state, batch)
+        mid, _ = jitted(state_s, batch_s, jax.random.PRNGKey(1))
+        done, _ = jitted(mid, batch_s, jax.random.PRNGKey(1))
+        jax.block_until_ready(done.params)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(mid.params)),
+                    jax.tree_util.tree_leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    moved = sum(
+        float(np.abs(np.asarray(a) - np.asarray(b)).max()) > 0
+        for a, b in zip(
+            jax.tree_util.tree_leaves(jax.device_get(done.params)),
+            jax.tree_util.tree_leaves(params)))
+    assert moved > 0, "accumulated step never applied"

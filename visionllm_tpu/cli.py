@@ -214,6 +214,11 @@ def main(argv=None):
     sv.add_argument("--max-new-tokens", type=int, default=256)
     sv.add_argument("--max-prompt", type=int, default=1024)
     sv.add_argument("--conv", default="vicuna_v1")
+    sv.add_argument("--max-batch", type=int, default=1,
+                    help="micro-batch size: concurrent requests coalesce "
+                         "into one [B]-vectorized decode")
+    sv.add_argument("--batch-window-ms", type=float, default=4.0,
+                    help="how long a non-full batch waits for company")
     sv.add_argument("--quant", default="", choices=["", "int8"])
     sv.add_argument("--kv-quant", default="", choices=["", "int8"])
     tr = subs.add_parser("train")
@@ -226,6 +231,10 @@ def main(argv=None):
     tr.add_argument("--steps", type=int, default=1000)
     tr.add_argument("--num-workers", type=int, default=2,
                     help="prefetch loader threads (0 = synchronous)")
+    tr.add_argument("--grad-accum", type=int, default=1,
+                    help="micro-batches accumulated per optimizer step "
+                         "(the reference's gradient_accumulation_steps); "
+                         "--steps counts micro-batches")
     tr.add_argument("--tiny", action="store_true")
     _dist_flags(tr)
     args = parser.parse_args(argv)
@@ -347,7 +356,8 @@ def main(argv=None):
         svc = ChatService(
             cfg, None, tok, image_size=cfg.vis_encoder.image_size,
             conv_version=args.conv, max_new_tokens=args.max_new_tokens,
-            max_prompt=args.max_prompt,
+            max_prompt=args.max_prompt, max_batch=args.max_batch,
+            batch_window_ms=args.batch_window_ms,
             dtype=jnp.float32 if args.tiny else jnp.bfloat16)
         if params is not None:
             svc.params = params["core"] if "core" in params else params
@@ -378,10 +388,13 @@ def main(argv=None):
             from visionllm_tpu.utils.simple_tokenizer import MockTokenizer
             tokenizer = MockTokenizer()
             tid = SpecialTokenIds.synthetic()
+        from visionllm_tpu.train.train_step import OptimizerConfig
         tc = TrainConfig(output_dir=args.output,
                          batch_size=args.batch_size,
                          total_steps=args.steps,
-                         num_workers=args.num_workers)
+                         num_workers=args.num_workers,
+                         optimizer=OptimizerConfig(
+                             grad_accum_steps=args.grad_accum))
         Trainer(cfg, tc, tid).train(ds_cfgs, tokenizer)
     else:
         parser.error(f"unknown command {args.cmd}")

@@ -71,12 +71,13 @@ def build_generate_fn(
     cfg = model.cfg
     num_embs, num_embs_gen = cfg.num_embs, cfg.num_embs_gen
 
-    def step_fn(params, state: DecodeState) -> DecodeState:
+    def step_fn(params, state: DecodeState,
+                decode_mask: Optional[jnp.ndarray] = None) -> DecodeState:
         B = state.cur_embed.shape[0]
         pos = jnp.broadcast_to(state.cache.index[None, None], (B, 1))
         out = model.apply(
             {"params": params}, state.cur_embed, pos.astype(jnp.int32),
-            state.cache, method=VisionLLM.llm_step)
+            state.cache, decode_mask, method=VisionLLM.llm_step)
         logits, hidden, cache = out["logits"], out["hidden"], out["cache"]
         sampled = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
 
@@ -142,6 +143,8 @@ def build_generate_fn(
                  images: Optional[jnp.ndarray],
                  first_token: Optional[jnp.ndarray] = None,
                  regions: Optional[jnp.ndarray] = None,
+                 attn_mask: Optional[jnp.ndarray] = None,
+                 live: Optional[jnp.ndarray] = None,
                  ) -> Dict[str, Any]:
         """`first_token` [B] optionally overrides the first sampled token
         (teacher-forcing a tool trigger, e.g. [GEN] for generation eval).
@@ -151,13 +154,22 @@ def build_generate_fn(
         (reference threads regions= through prepare_inputs_for_generation,
         modeling_visionllmv2.py:355-379; used by the region-caption/
         recognition/classification evals, eval_region_caption_refcoco.py
-        :176-179)."""
+        :176-179).
+
+        `attn_mask` [B, L_prompt] marks valid prompt tokens for
+        LEFT-padded batches (serving: mixed-length prompts padded to one
+        compiled length). Pad tokens are excluded from attention in both
+        prefill and decode; RoPE is relative, so left-padding under the
+        mask is numerically exact vs the unpadded prompt.
+
+        `live` [B] marks real batch rows; dummy rows (a partially full
+        serving batch) start `done` and never extend the decode loop."""
         B, L = input_ids.shape
         cache_dtype = (jnp.int8 if cfg.llm.kv_quant == "int8"
                        else model.dtype)
         cache = KVCache.create(cfg.llm, B, max_len, dtype=cache_dtype)
         out = model.apply({"params": params}, input_ids, images, tid,
-                          cache=cache, regions=regions)
+                          attn_mask=attn_mask, cache=cache, regions=regions)
         logits, cache = out["logits"], out["cache"]
         first = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
         if first_token is not None:
@@ -166,25 +178,39 @@ def build_generate_fn(
         first_embed = model.apply({"params": params}, first[:, None],
                                   method=VisionLLM.embed_tokens)
 
+        decode_mask = None
+        if attn_mask is not None:
+            # [B, max_len]: prompt pads stay invisible; every slot the
+            # decode loop writes (>= L) is valid
+            decode_mask = jnp.concatenate(
+                [attn_mask.astype(bool),
+                 jnp.ones((B, max_len - L), bool)], axis=1)
+
         kind0 = _tool_kind(first, tid)
         total0 = jnp.where(kind0 >= C.TOOL_GEN, num_embs_gen, num_embs)
         hid = cfg.llm.hidden_size
+        done0 = first == eos_id
+        if live is not None:
+            done0 = done0 | ~live.astype(bool)
         state = DecodeState(
             cache=cache,
             cur_embed=first_embed,
             out_tokens=jnp.zeros((B, max_new_tokens), jnp.int32
-                                 ).at[:, 0].set(first),
+                                 ).at[:, 0].set(
+                                     jnp.where(done0 & (first != eos_id),
+                                               0, first)),
             out_hidden=jnp.zeros((B, max_new_tokens, hid), jnp.float32),
             step=jnp.ones((), jnp.int32),
             emb_countdown=jnp.where(kind0 > 0, total0, 0),
             emb_kind=kind0,
-            done=first == eos_id,
+            done=done0,
         )
 
         def cond(s: DecodeState):
             return (s.step < max_new_tokens) & ~jnp.all(s.done)
 
-        state = jax.lax.while_loop(cond, lambda s: step_fn(params, s), state)
+        state = jax.lax.while_loop(
+            cond, lambda s: step_fn(params, s, decode_mask), state)
         return {"out_tokens": state.out_tokens,
                 "out_hidden": state.out_hidden,
                 "num_generated": state.step,

@@ -99,9 +99,21 @@ class LlamaDecoderLayer(nn.Module):
         v = v.reshape(B, L, cfg.num_kv_heads, cfg.head_dim)
         q, k = apply_rope(q, k, cos, sin)
 
+        # a key-valid mask on a causal self-attention window (left-padded
+        # prefill) is expressed as segment ids — valid tokens segment 1,
+        # pads segment 0 — so the flash kernel path stays available;
+        # outputs at valid rows are identical to the bias formulation
+        seg = None
+        prefill_mask = attn_bias
+        if (attn_bias is not None and L > 1
+                and attn_bias.shape == (B, 1, 1, L)):
+            seg = attn_bias[:, 0, 0, :].astype(jnp.int32)
+            prefill_mask = None
+
         new_ks = new_vs = None
         if k_cache is None:
-            attn = multi_head_attention(q, k, v, mask=attn_bias, causal=True)
+            attn = multi_head_attention(q, k, v, mask=prefill_mask,
+                                        causal=True, segment_ids=seg)
             new_k = new_v = None
         elif k_cache.dtype == jnp.int8:
             from visionllm_tpu.ops.quant import (int8_kv_attention,
@@ -119,8 +131,8 @@ class LlamaDecoderLayer(nn.Module):
             if L > 1:
                 # prefill attends the fresh bf16 window — exact; only the
                 # cached history that DECODE reads back is quantized
-                attn = multi_head_attention(q, k, v, mask=attn_bias,
-                                            causal=True)
+                attn = multi_head_attention(q, k, v, mask=prefill_mask,
+                                            causal=True, segment_ids=seg)
             else:
                 attn = int8_kv_attention(q, new_k, new_ks, new_v, new_vs,
                                          mask=attn_bias)
@@ -132,8 +144,8 @@ class LlamaDecoderLayer(nn.Module):
             if L > 1:
                 # prefill: attend within the fresh window only (cache was
                 # empty before index=0 prefill)
-                attn = multi_head_attention(q, k, v, mask=attn_bias,
-                                            causal=True)
+                attn = multi_head_attention(q, k, v, mask=prefill_mask,
+                                            causal=True, segment_ids=seg)
             else:
                 # decode: attend over the whole (masked) cache buffer
                 attn = multi_head_attention(q, new_k.astype(q.dtype),

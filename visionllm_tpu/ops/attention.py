@@ -127,6 +127,13 @@ def multi_head_attention(
         out = out.transpose(0, 2, 1, 3)
         return out[:, :Lq] if pq else out
 
+    if segment_ids is not None:
+        # einsum fallback honors segments the same way the flash kernel
+        # does: attention only within equal segment ids (Lq == Lk here —
+        # segments are a self-attention feature)
+        seg_mask = (segment_ids[:, None, :, None]
+                    == segment_ids[:, None, None, :])
+        mask = seg_mask if mask is None else (mask & seg_mask)
     if causal:
         Lq, Lk = q.shape[1], k.shape[1]
         # offset allows Lq < Lk (decode with cache): query i attends keys

@@ -6,14 +6,20 @@ provides a minimal dependency-free server over the jitted generation
 loop:
 
   * `ChatService` — owns (config, params, tokenizer, generate_fn) and
-    turns one (prompt, image) request into decoded text. The underlying
+    turns (prompt, image) requests into decoded text. The underlying
     decode is the emb-countdown while_loop of `generation.py`, compiled
-    once; every request after the first reuses the same executable
-    (static [1, max_prompt] / [1, H, W, 3] shapes — requests are padded
-    to the compiled prompt length, the TPU program never recompiles).
-  * `serve()` — stdlib ThreadingHTTPServer. Requests serialize through
-    a lock: one chip, one decode stream (the reference likewise pins
-    generation to bs=1 — visionllmv2/eval/vqa/evaluate_vqa.py).
+    ONCE at static [max_batch, max_prompt] / [max_batch, 1, H, W, 3]
+    shapes: prompts are LEFT-padded to the compiled length under an
+    attention mask (exact — RoPE is relative and pads are excluded from
+    attention in prefill and decode), so the TPU program never
+    recompiles regardless of prompt length or load.
+  * Micro-batching: concurrent requests are coalesced by a dispatcher
+    thread into one [max_batch]-vectorized generate call (decode is
+    HBM-bound on the weights, so B streams cost about one stream's
+    step time — aggregate tok/s scales with B). Partially full batches
+    run with dummy rows flagged dead via `live=`; batched output is
+    token-identical to per-request (tests/test_generation_batched.py).
+    The reference pins generation to bs=1 (evaluate_vqa.py:531).
 
 Endpoints
   GET  /healthz      -> {"ok": true, "model": ..., "devices": [...]}
@@ -31,22 +37,36 @@ from __future__ import annotations
 
 import base64
 import json
+import queue
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Optional
+from typing import List, Optional
 
 import numpy as np
 
 from visionllm_tpu.constants import DEFAULT_TOKENS
 
 
+class _Request:
+    __slots__ = ("ids", "image", "event", "tokens", "error")
+
+    def __init__(self, ids: np.ndarray, image: Optional[np.ndarray]):
+        self.ids = ids
+        self.image = image           # preprocessed [S, S, 3] or None
+        self.event = threading.Event()
+        self.tokens: Optional[np.ndarray] = None
+        self.error: Optional[BaseException] = None
+
+
 class ChatService:
-    """One loaded model + tokenizer; thread-safe greedy generation."""
+    """One loaded model + tokenizer; thread-safe greedy generation with
+    request micro-batching (see module docstring)."""
 
     def __init__(self, cfg, params, tokenizer, *, image_size: int = 336,
                  conv_version: str = "vicuna_v1",
                  max_new_tokens: int = 256, max_prompt: int = 1024,
+                 max_batch: int = 1, batch_window_ms: float = 4.0,
                  dtype=None):
         import jax.numpy as jnp
 
@@ -60,22 +80,27 @@ class ChatService:
         self.image_size = image_size
         self.conv_version = conv_version
         self.max_prompt = max_prompt
+        self.max_batch = max_batch
+        self.batch_window_s = batch_window_ms / 1e3
         self.img_len = (image_size // 14) ** 2
         self.tid = SpecialTokenIds.from_tokenizer(tokenizer)
+        self.eos_id = getattr(tokenizer, "eos_token_id", None) or 2
         self.core = VisionLLM(cfg, dtype=dtype or jnp.bfloat16)
         self.generate_fn = build_generate_fn(
             self.core, self.tid, max_new_tokens=max_new_tokens,
+            eos_id=self.eos_id,
             max_len=max_prompt + max_new_tokens + 8)
-        self._lock = threading.Lock()
+        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self._dispatcher = threading.Thread(target=self._dispatch_loop,
+                                            daemon=True)
+        self._dispatcher.start()
 
-    def generate(self, prompt: str, image: Optional[np.ndarray] = None,
-                 max_new_tokens: Optional[int] = None) -> dict:
-        import jax.numpy as jnp
+    # ---- request assembly (caller thread) ----
 
+    def _encode(self, prompt: str, image: Optional[np.ndarray]):
         from visionllm_tpu.data.conversation import get_conv_template
         from visionllm_tpu.data.mm_utils import (clip_preprocess,
                                                  expand_image_tokens,
-                                                 find_stop,
                                                  tokenizer_image_token)
 
         q = prompt if image is None else "<image>\n" + prompt
@@ -83,24 +108,27 @@ class ChatService:
         conv.append_message(conv.roles[0], q)
         conv.append_message(conv.roles[1], None)
         ids = tokenizer_image_token(conv.get_prompt(), self.tokenizer)
+        img = None
         if image is not None:
             imp_id = self.tokenizer.convert_tokens_to_ids(
                 DEFAULT_TOKENS["imp"])
             ids = expand_image_tokens(ids, self.img_len, imp_id)
-            img = clip_preprocess(image, self.image_size, "pad")[None]
-        else:
-            # blank tile: the compiled program always takes an image
-            # input; without <im_patch> tokens it never attends to it
-            img = np.zeros((1, self.image_size, self.image_size, 3),
-                           np.float32)
-        ids = np.asarray(ids)[-self.max_prompt:]
+            img = clip_preprocess(image, self.image_size, "pad")
+        return np.asarray(ids, np.int32)[-self.max_prompt:], img, conv
+
+    def generate(self, prompt: str, image: Optional[np.ndarray] = None,
+                 max_new_tokens: Optional[int] = None) -> dict:
+        from visionllm_tpu.data.mm_utils import find_stop
+
+        ids, img, conv = self._encode(prompt, image)
+        req = _Request(ids, img)
         t0 = time.perf_counter()
-        with self._lock:
-            out = self.generate_fn(self.params, jnp.asarray(ids)[None],
-                                   jnp.asarray(img, jnp.float32))
-            n = int(out["num_generated"])
-            tokens = np.asarray(out["out_tokens"][0, :n])
+        self._queue.put(req)
+        req.event.wait()
         latency = time.perf_counter() - t0
+        if req.error is not None:
+            raise req.error
+        tokens = req.tokens
         if max_new_tokens is not None:
             tokens = tokens[:max_new_tokens]
         text = self.tokenizer.decode(tokens, skip_special_tokens=True)
@@ -110,6 +138,64 @@ class ChatService:
             text = text[:cut]
         return {"text": text.strip(), "num_tokens": int(len(tokens)),
                 "latency_s": round(latency, 4)}
+
+    # ---- batching dispatcher (single thread owns the TPU) ----
+
+    def _dispatch_loop(self):
+        while True:
+            batch = [self._queue.get()]
+            if self.max_batch > 1:
+                deadline = time.perf_counter() + self.batch_window_s
+                while len(batch) < self.max_batch:
+                    left = deadline - time.perf_counter()
+                    if left <= 0:
+                        break
+                    try:
+                        batch.append(self._queue.get(timeout=left))
+                    except queue.Empty:
+                        break
+            try:
+                toks = self._run(batch)
+                for r, t in zip(batch, toks):
+                    r.tokens = t
+                    r.event.set()
+            except BaseException as e:              # noqa: BLE001
+                for r in batch:
+                    r.error = e
+                    r.event.set()
+
+    def _run(self, batch: List[_Request]) -> List[np.ndarray]:
+        """One fixed-shape [max_batch] generate call; dummy rows are
+        dead (`live=False`) and never extend the decode loop."""
+        import jax.numpy as jnp
+
+        B, S, L = self.max_batch, self.image_size, self.max_prompt
+        ids = np.zeros((B, L), np.int32)
+        mask = np.zeros((B, L), bool)
+        # [B, 1, S, S, 3] tile stacks select the PER-SAMPLE feature
+        # scatter — mixed image/text-only rows stay aligned (the global
+        # flattened scatter assumes every row carries <im_patch> tokens)
+        imgs = np.zeros((B, 1, S, S, 3), np.float32)
+        live = np.zeros((B,), bool)
+        for b, r in enumerate(batch):
+            n = len(r.ids)
+            ids[b, L - n:] = r.ids
+            mask[b, L - n:] = True
+            if r.image is not None:
+                imgs[b, 0] = r.image
+            live[b] = True
+        out = self.generate_fn(self.params, jnp.asarray(ids),
+                               jnp.asarray(imgs),
+                               attn_mask=jnp.asarray(mask),
+                               live=jnp.asarray(live))
+        n_gen = int(out["num_generated"])
+        toks = np.asarray(out["out_tokens"][:, :n_gen])
+        results = []
+        for b in range(len(batch)):
+            row = toks[b]
+            ends = np.nonzero(row == self.eos_id)[0]
+            results.append(row[:ends[0] + 1] if ends.size else row)
+        return results
 
 
 class _Handler(BaseHTTPRequestHandler):

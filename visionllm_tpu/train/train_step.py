@@ -43,6 +43,9 @@ class OptimizerConfig:
     warmup_steps: int = 0
     total_steps: int = 10_000
     schedule: str = "cosine"          # "cosine" | "constant"
+    grad_accum_steps: int = 1         # k micro-batches per optimizer step
+                                      # (reference: HF TrainingArguments
+                                      # gradient_accumulation_steps)
 
 
 LOW_LR_PAT = re.compile(
@@ -103,7 +106,7 @@ def build_optimizer(cfg: OptimizerConfig, params: Any,
         {"base": optax.identity(), "low": optax.identity(),
          "llm": optax.identity(), "frozen": optax.set_to_zero()},
         labels)
-    return optax.chain(
+    tx = optax.chain(
         zero_frozen,
         optax.clip_by_global_norm(cfg.max_grad_norm),
         optax.multi_transform(
@@ -111,6 +114,13 @@ def build_optimizer(cfg: OptimizerConfig, params: Any,
              "llm": adamw(cfg.lr_llm_multiplier),
              "frozen": optax.set_to_zero()},
             labels))
+    if cfg.grad_accum_steps > 1:
+        # accumulate the MEAN gradient over k micro-batches and apply one
+        # optimizer step (clipping sees the mean, matching a k×-larger
+        # batch — the reference's gradient_accumulation_steps). The inner
+        # schedule advances per APPLIED step, not per micro-step.
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum_steps)
+    return tx
 
 
 class TrainState(struct.PyTreeNode):
