@@ -168,3 +168,45 @@ def test_batched_service_single_request_ok(batched_server):
     code, body = _post(url + "/v1/generate", {"prompt": "solo request"})
     assert code == 200, body
     assert isinstance(body["text"], str)
+
+
+def test_speculative_service_matches_plain(server):
+    """--spec-k latency mode: a speculative ChatService with the SAME
+    params must return byte-identical answers to the plain service."""
+    cfg = tiny_test_config(use_gdino=False, use_unipose=False,
+                           use_sd=False, use_ip2p=False,
+                           use_region_encoder=False)
+    tok = MockTokenizer()
+    plain = ChatService(cfg, None, tok,
+                        image_size=cfg.vis_encoder.image_size,
+                        max_new_tokens=8, max_prompt=128,
+                        dtype=jnp.float32)
+    size = cfg.vis_encoder.image_size
+    img_len = (size // 14) ** 2
+    ids = jnp.asarray([[1] + [plain.tid.imp] * img_len + [5, 6]],
+                      jnp.int32)
+    plain.params = plain.core.init(
+        jax.random.PRNGKey(7), ids,
+        jnp.zeros((1, size, size, 3), jnp.float32), plain.tid)["params"]
+    spec = ChatService(cfg, plain.params, tok,
+                       image_size=cfg.vis_encoder.image_size,
+                       max_new_tokens=8, max_prompt=128, spec_k=3,
+                       dtype=jnp.float32)
+    img = np.random.RandomState(2).randint(0, 255, (40, 56, 3), np.uint8)
+    for req in ({"prompt": "what is shown here"},
+                {"prompt": "look closely", "image": img}):
+        kw = dict(prompt=req["prompt"], image=req.get("image"))
+        a = plain.generate(**kw)
+        b = spec.generate(**kw)
+        assert a["text"] == b["text"]
+        assert a["num_tokens"] == b["num_tokens"]
+
+
+def test_spec_k_with_batching_rejected():
+    cfg = tiny_test_config(use_gdino=False, use_unipose=False,
+                           use_sd=False, use_ip2p=False,
+                           use_region_encoder=False)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        ChatService(cfg, None, MockTokenizer(),
+                    image_size=cfg.vis_encoder.image_size,
+                    max_batch=2, spec_k=3, dtype=jnp.float32)

@@ -219,6 +219,263 @@ def build_generate_fn(
     return jax.jit(generate)
 
 
+@flax.struct.dataclass
+class SpecDecodeState:
+    cache: KVCache
+    cur_embed: jnp.ndarray     # [1, 1, C] input for the next window's slot 0
+    tokens: jnp.ndarray        # [1, buf] prompt + emitted (n-gram source)
+    n_tok: jnp.ndarray         # scalar int32 — valid length of `tokens`
+    out_hidden: jnp.ndarray    # [1, out_buf, C]
+    step: jnp.ndarray          # scalar int32 — tokens emitted so far
+    emb_countdown: jnp.ndarray  # scalar int32
+    emb_kind: jnp.ndarray       # scalar int32
+    done: jnp.ndarray           # scalar bool
+
+
+def build_speculative_generate_fn(
+    model: VisionLLM,
+    tid: SpecialTokenIds,
+    *,
+    max_new_tokens: int = 256,
+    eos_id: int = 2,
+    max_len: int = 4096,
+    k_draft: int = 7,
+):
+    """Speculative greedy decoding — EXACT same tokens and hidden states
+    as `build_generate_fn`, usually in far fewer sequential steps.
+
+    Two draft sources feed a (k_draft+1)-token verify window per
+    iteration, both TPU-shaped (fixed sizes, no host round-trips):
+
+      * prompt-lookup drafting (the n-gram scheme of "assisted
+        generation" without a draft model): the last 2-gram of
+        prompt+output is matched against its own history and the
+        continuation of the most recent match is proposed. VQA/caption/
+        grounding answers echo prompt phrases constantly, so acceptance
+        is high exactly where the reference evals decode.
+      * forced-[EMB] windowing: while the emb-countdown is live the next
+        inputs are KNOWN (the tool's [EMB] table rows), so up to
+        k_draft+1 forced rows run in ONE forward — the reference's
+        [GEN]/[EDIT] runs append 64 such tokens one step at a time
+        (modeling_visionllmv2.py:426-555); here they take ⌈64/(k+1)⌉
+        windows.
+
+    A verify window costs about one decode step — decode is HBM-bound
+    on the weight tree and KV cache, which a multi-token window reads
+    once — so every accepted draft is a step saved. Greedy acceptance
+    (token == argmax) makes the output provably identical to the
+    step-by-step loop; `tests/test_speculative.py` asserts it.
+
+    Single-sequence only (B=1): per-row variable acceptance would need
+    per-row cache indices. Batched serving throughput uses
+    `build_generate_fn(live=...)`; this is the latency configuration.
+    """
+    cfg = model.cfg
+    num_embs, num_embs_gen = cfg.num_embs, cfg.num_embs_gen
+    K = k_draft
+    W = K + 1
+    hid = cfg.llm.hidden_size
+    out_buf = max_new_tokens + W
+
+    def _totals(kind):
+        return jnp.where(kind >= C.TOOL_GEN, num_embs_gen, num_embs)
+
+    def spec_step(params, state: SpecDecodeState, buf: int,
+                  decode_mask: Optional[jnp.ndarray] = None
+                  ) -> SpecDecodeState:
+        c = state.emb_countdown
+        kind = state.emb_kind
+        idx = state.cache.index
+        total = _totals(kind)
+
+        # ---- prompt-lookup draft: continuation of the most recent
+        # earlier occurrence of the current trailing 2-gram ----
+        Tb = state.tokens[0]
+        t0 = jnp.take(Tb, state.n_tok - 2)
+        t1 = jnp.take(Tb, state.n_tok - 1)
+        jarr = jnp.arange(buf)
+        cand = ((Tb == t0) & (jnp.roll(Tb, -1) == t1)
+                & (jarr + 1 < state.n_tok - 1))
+        jm = jnp.max(jnp.where(cand, jarr, -1))
+        start = jnp.clip(jm + 2, 0, buf - K)
+        drafts = jax.lax.dynamic_slice(Tb, (start,), (K,))      # [K]
+        drafts = jnp.where(jm >= 0, drafts, 0)
+
+        # ---- window inputs ----
+        # window position i emits token t_i; positions i < c are forced
+        iarr = jnp.arange(W)
+        forcing = iarr < c                                      # [W]
+        offs = jnp.clip(total - c + iarr, 0, None)              # [W]
+        forced_tok = jnp.where(kind >= C.TOOL_GEN, tid.emb,
+                               tid.emb + offs)
+        tables = {
+            C.TOOL_DET: params["emb_embeddings_det"],
+            C.TOOL_POSE: params["emb_embeddings_pose"],
+            C.TOOL_GEN: params["emb_embeddings_gen"],
+            C.TOOL_EDIT: params["emb_embeddings_edit"],
+        }
+        draft_emb = model.apply({"params": params}, drafts[None],
+                                method=VisionLLM.embed_tokens)[0]  # [K, C]
+        forced_rows = jnp.zeros_like(draft_emb)
+        for code, table in tables.items():
+            n = table.shape[0]
+            rows = table[jnp.clip(offs[:K], 0, n - 1)].astype(
+                draft_emb.dtype)
+            forced_rows = jnp.where(kind == code, rows, forced_rows)
+        # inputs: e_0 = cur_embed; e_{i+1} = forced row offs_i while
+        # forcing, else the drafted token's embedding
+        pred_in = jnp.where(forcing[:K, None], forced_rows, draft_emb)
+        window = jnp.concatenate(
+            [state.cur_embed, pred_in[None].astype(state.cur_embed.dtype)],
+            axis=1)                                             # [1, W, C]
+        pos = (idx + iarr)[None].astype(jnp.int32)
+
+        out = model.apply({"params": params}, window, pos, state.cache,
+                          decode_mask, method=VisionLLM.llm_window)
+        logits, hidden, new_cache = (out["logits"], out["hidden"],
+                                     out["cache"])
+        s = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)    # [W]
+        s_kind = _tool_kind(s, tid)
+
+        # ---- greedy acceptance ----
+        t = jnp.where(forcing, forced_tok, s)                   # emitted
+        # position i+1 is emitted iff input e_{i+1} was the true input:
+        # forced rows always are; a draft must match the sample AND not
+        # be a tool/eos token (their successors take table rows / stop)
+        cont = forcing[:K] | ((drafts == s[:K]) & (s_kind[:K] == 0)
+                              & (s[:K] != eos_id))
+        acc = jnp.cumprod(cont.astype(jnp.int32))
+        m = 1 + jnp.sum(acc)                                    # 1..W
+
+        last = m - 1
+        t_last = jnp.take(t, last)
+        last_forced = last < c                                  # ⇔ c >= W
+        kind_s = _tool_kind(t_last, tid)
+        started = (~last_forced) & (kind_s > 0)
+        c_new = jnp.where(last_forced, c - m,
+                          jnp.where(started, _totals(kind_s), 0))
+        kind_new = jnp.where(last_forced, kind,
+                             jnp.where(started, kind_s, 0))
+
+        # next window's slot-0 input: the embedding the step-by-step
+        # loop would feed after emitting t_last
+        emb_last = model.apply({"params": params}, t_last[None, None],
+                               method=VisionLLM.embed_tokens)   # [1,1,C]
+        offs_last = jnp.take(offs, last)
+        next_forced = jnp.zeros((1, 1, emb_last.shape[-1]),
+                                emb_last.dtype)
+        for code, table in tables.items():
+            n = table.shape[0]
+            row_cont = table[jnp.clip(offs_last, 0, n - 1)]
+            row_start = table[0]
+            sel = jnp.where(last_forced & (kind == code), row_cont,
+                            jnp.where(started & (kind_s == code),
+                                      row_start, next_forced[0, 0]))
+            next_forced = sel[None, None].astype(emb_last.dtype)
+        use_table = last_forced | started
+        cur_embed = jnp.where(use_table, next_forced, emb_last)
+
+        # ---- record tokens + hidden (masked window writes) ----
+        keep = iarr < m
+        tok_old = jax.lax.dynamic_slice(
+            state.tokens, (0, state.n_tok), (1, W))
+        tok_new = jnp.where(keep, t, tok_old[0])[None]
+        tokens = jax.lax.dynamic_update_slice(
+            state.tokens, tok_new, (0, state.n_tok))
+        # hidden[i] is the LLM output for input e_i = the token at out
+        # position step-1+i (same alignment as the step-by-step loop)
+        h_old = jax.lax.dynamic_slice(
+            state.out_hidden, (0, state.step - 1, 0), (1, W, hid))
+        h_new = jnp.where(keep[:, None],
+                          hidden[0].astype(jnp.float32), h_old[0])[None]
+        out_hidden = jax.lax.dynamic_update_slice(
+            state.out_hidden, h_new, (0, state.step - 1, 0))
+
+        return SpecDecodeState(
+            cache=new_cache.replace(index=idx + m),
+            cur_embed=cur_embed,
+            tokens=tokens,
+            n_tok=state.n_tok + m,
+            out_hidden=out_hidden,
+            step=state.step + m,
+            emb_countdown=c_new,
+            emb_kind=kind_new,
+            done=state.done | (t_last == eos_id),
+        )
+
+    def generate(params, input_ids: jnp.ndarray,
+                 images: Optional[jnp.ndarray],
+                 first_token: Optional[jnp.ndarray] = None,
+                 regions: Optional[jnp.ndarray] = None,
+                 attn_mask: Optional[jnp.ndarray] = None,
+                 ) -> Dict[str, Any]:
+        """`attn_mask` [1, L_prompt]: LEFT-padded prompt support (the
+        serving one-compiled-shape contract) — pad slots are excluded
+        from attention in the prefill and in every verify window; the
+        n-gram drafter sees the pad zeros but can only draft zeros off
+        them, which greedy acceptance rejects."""
+        B, L = input_ids.shape
+        if B != 1:
+            raise ValueError("speculative decoding is single-sequence "
+                             "(B=1); use build_generate_fn for batches")
+        buf = L + max_new_tokens + W + 2
+        cache_dtype = (jnp.int8 if cfg.llm.kv_quant == "int8"
+                       else model.dtype)
+        cache = KVCache.create(cfg.llm, B, max_len, dtype=cache_dtype)
+        out = model.apply({"params": params}, input_ids, images, tid,
+                          attn_mask=attn_mask, cache=cache,
+                          regions=regions)
+        logits, cache = out["logits"], out["cache"]
+        first = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        if first_token is not None:
+            first = jnp.broadcast_to(
+                jnp.asarray(first_token, jnp.int32), first.shape)
+        kind0 = _tool_kind(first, tid)[0]
+        # slot 0 of the first window is the vocab embedding of the first
+        # emitted token — the step-by-step loop's cur_embed after prefill
+        first_embed = model.apply({"params": params}, first[:, None],
+                                  method=VisionLLM.embed_tokens)
+
+        tokens = jnp.zeros((1, buf), jnp.int32)
+        tokens = jax.lax.dynamic_update_slice(tokens, input_ids, (0, 0))
+        tokens = tokens.at[0, L].set(first[0])
+
+        state = SpecDecodeState(
+            cache=cache,
+            cur_embed=first_embed,
+            tokens=tokens,
+            n_tok=jnp.asarray(L + 1, jnp.int32),
+            out_hidden=jnp.zeros((1, out_buf, hid), jnp.float32),
+            step=jnp.ones((), jnp.int32),
+            emb_countdown=jnp.where(kind0 > 0, _totals(kind0), 0),
+            emb_kind=kind0,
+            done=first[0] == eos_id,
+        )
+
+        def cond(s: SpecDecodeState):
+            return (s.step < max_new_tokens) & ~s.done
+
+        decode_mask = None
+        if attn_mask is not None:
+            decode_mask = jnp.concatenate(
+                [attn_mask.astype(bool),
+                 jnp.ones((B, max_len - L), bool)], axis=1)
+
+        state = jax.lax.while_loop(
+            cond, lambda s: spec_step(params, s, buf, decode_mask), state)
+        out_tokens = jax.lax.dynamic_slice(
+            state.tokens, (0, L), (1, max_new_tokens))
+        # tokens past max_new_tokens (window overshoot) are dropped
+        n = jnp.minimum(state.step, max_new_tokens)
+        valid = jnp.arange(max_new_tokens)[None] < n
+        return {"out_tokens": jnp.where(valid, out_tokens, 0),
+                "out_hidden": state.out_hidden[:, :max_new_tokens],
+                "num_generated": n,
+                "cache": state.cache}
+
+    return jax.jit(generate)
+
+
 def extract_tool_queries_from_generation(
     cfg: VisionLLMConfig,
     tid: SpecialTokenIds,

@@ -110,6 +110,14 @@ class LlamaDecoderLayer(nn.Module):
             seg = attn_bias[:, 0, 0, :].astype(jnp.int32)
             prefill_mask = None
 
+        # extend mode (speculative-decode verify window): L>1 new tokens
+        # appended to a NON-empty cache — the bias spans the whole cache
+        # buffer [B, 1, L, max_len], unlike the prefill window bias
+        # [B, 1, 1, L]; detected by the key-dim matching the buffer
+        extend = (k_cache is not None and L > 1 and attn_bias is not None
+                  and attn_bias.shape[-1] == k_cache.shape[1]
+                  and attn_bias.shape[-1] != L)
+
         new_ks = new_vs = None
         if k_cache is None:
             attn = multi_head_attention(q, k, v, mask=prefill_mask,
@@ -128,12 +136,14 @@ class LlamaDecoderLayer(nn.Module):
                 ks_cache, ks, (0, cache_index, 0))
             new_vs = jax.lax.dynamic_update_slice(
                 vs_cache, vs, (0, cache_index, 0))
-            if L > 1:
+            if L > 1 and not extend:
                 # prefill attends the fresh bf16 window — exact; only the
                 # cached history that DECODE reads back is quantized
                 attn = multi_head_attention(q, k, v, mask=prefill_mask,
                                             causal=True, segment_ids=seg)
             else:
+                # decode (L==1) or extend window: attend the whole
+                # (masked) quantized buffer
                 attn = int8_kv_attention(q, new_k, new_ks, new_v, new_vs,
                                          mask=attn_bias)
         else:
@@ -141,13 +151,14 @@ class LlamaDecoderLayer(nn.Module):
                 k_cache, k.astype(k_cache.dtype), (0, cache_index, 0, 0))
             new_v = jax.lax.dynamic_update_slice(
                 v_cache, v.astype(v_cache.dtype), (0, cache_index, 0, 0))
-            if L > 1:
+            if L > 1 and not extend:
                 # prefill: attend within the fresh window only (cache was
                 # empty before index=0 prefill)
                 attn = multi_head_attention(q, k, v, mask=prefill_mask,
                                             causal=True, segment_ids=seg)
             else:
-                # decode: attend over the whole (masked) cache buffer
+                # decode (L==1) or extend window: attend over the whole
+                # (masked) cache buffer — the bias encodes causality
                 attn = multi_head_attention(q, new_k.astype(q.dtype),
                                             new_v.astype(q.dtype),
                                             mask=attn_bias, causal=False)
@@ -225,8 +236,15 @@ class LlamaModel(nn.Module):
                                                   # [B, max_len] (decode)
         cache: Optional[KVCache] = None,
         compute_logits: bool = True,
+        extend: bool = False,
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[KVCache]]:
-        """Returns (hidden_after_final_norm, logits_fp32, new_cache)."""
+        """Returns (hidden_after_final_norm, logits_fp32, new_cache).
+
+        `extend=True` (speculative-decode verify window): the L inputs
+        are appended at cache.index of a NON-empty cache and every query
+        attends the whole buffer — history plus the causal part of the
+        fresh window (position j visible to query i iff j <= index+i).
+        """
         cfg = self.cfg
         B, L, _ = inputs_embeds.shape
         inputs_embeds = constrain_seq(inputs_embeds)
@@ -235,7 +253,14 @@ class LlamaModel(nn.Module):
 
         # attention bias [B, 1, L, Lk] (True = attend); causal handled by
         # the kernel for the windowed paths
-        if cache is None or L > 1:
+        if extend and cache is not None and L > 1:
+            max_len = cache.k.shape[2]
+            vis = (jnp.arange(max_len)[None, :]
+                   <= (cache.index + jnp.arange(L))[:, None])  # [L, maxlen]
+            bias = jnp.broadcast_to(vis[None, None], (B, 1, L, max_len))
+            if attn_mask is not None:   # [B, max_len] buffer-valid mask
+                bias = bias & attn_mask[:, None, None, :].astype(bool)
+        elif cache is None or L > 1:
             bias = None
             if attn_mask is not None:
                 bias = attn_mask[:, None, None, :].astype(bool)

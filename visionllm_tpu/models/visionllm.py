@@ -316,6 +316,24 @@ class VisionLLM(nn.Module):
             attn_mask=attn_mask, cache=cache, compute_logits=True)
         return {"hidden": hidden, "logits": logits, "cache": new_cache}
 
+    def llm_window(
+        self,
+        inputs_embeds: jnp.ndarray,    # [B, W, C] — draft window inputs
+        positions: jnp.ndarray,        # [B, W]
+        cache: KVCache,
+        attn_mask: Optional[jnp.ndarray] = None,   # [B, max_len]
+    ) -> Dict[str, Any]:
+        """W tokens in one cached forward (speculative-decode verify):
+        appends the window at cache.index and attends history + the
+        causal part of the window. Costs ~one decode step (decode is
+        bound on the weight/cache HBM reads, which a W-token window
+        amortizes) but yields up to W accepted tokens."""
+        hidden, logits, new_cache = self.llm(
+            inputs_embeds.astype(self.dtype), positions,
+            attn_mask=attn_mask, cache=cache, compute_logits=True,
+            extend=True)
+        return {"hidden": hidden, "logits": logits, "cache": new_cache}
+
     # ------------------------------------------------------------------
     # main forward (training / prefill)
     # ------------------------------------------------------------------

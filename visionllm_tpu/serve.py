@@ -67,13 +67,19 @@ class ChatService:
                  conv_version: str = "vicuna_v1",
                  max_new_tokens: int = 256, max_prompt: int = 1024,
                  max_batch: int = 1, batch_window_ms: float = 4.0,
-                 dtype=None):
+                 spec_k: int = 0, dtype=None):
         import jax.numpy as jnp
 
-        from visionllm_tpu.generation import build_generate_fn
+        from visionllm_tpu.generation import (
+            build_generate_fn, build_speculative_generate_fn)
         from visionllm_tpu.models.visionllm import (SpecialTokenIds,
                                                     VisionLLM)
 
+        if spec_k > 0 and max_batch > 1:
+            raise ValueError(
+                "spec_k (latency mode) and max_batch>1 (throughput mode) "
+                "are mutually exclusive: speculative acceptance advances "
+                "each stream a different number of tokens per step")
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
@@ -82,14 +88,21 @@ class ChatService:
         self.max_prompt = max_prompt
         self.max_batch = max_batch
         self.batch_window_s = batch_window_ms / 1e3
+        self.spec_k = spec_k
         self.img_len = (image_size // 14) ** 2
         self.tid = SpecialTokenIds.from_tokenizer(tokenizer)
         self.eos_id = getattr(tokenizer, "eos_token_id", None) or 2
         self.core = VisionLLM(cfg, dtype=dtype or jnp.bfloat16)
-        self.generate_fn = build_generate_fn(
-            self.core, self.tid, max_new_tokens=max_new_tokens,
-            eos_id=self.eos_id,
-            max_len=max_prompt + max_new_tokens + 8)
+        if spec_k > 0:
+            self.generate_fn = build_speculative_generate_fn(
+                self.core, self.tid, max_new_tokens=max_new_tokens,
+                eos_id=self.eos_id,
+                max_len=max_prompt + max_new_tokens + 8, k_draft=spec_k)
+        else:
+            self.generate_fn = build_generate_fn(
+                self.core, self.tid, max_new_tokens=max_new_tokens,
+                eos_id=self.eos_id,
+                max_len=max_prompt + max_new_tokens + 8)
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._dispatcher = threading.Thread(target=self._dispatch_loop,
                                             daemon=True)
@@ -184,10 +197,16 @@ class ChatService:
             if r.image is not None:
                 imgs[b, 0] = r.image
             live[b] = True
-        out = self.generate_fn(self.params, jnp.asarray(ids),
-                               jnp.asarray(imgs),
-                               attn_mask=jnp.asarray(mask),
-                               live=jnp.asarray(live))
+        if self.spec_k > 0:
+            # latency mode: B=1, speculative windows (no `live` rows)
+            out = self.generate_fn(self.params, jnp.asarray(ids),
+                                   jnp.asarray(imgs),
+                                   attn_mask=jnp.asarray(mask))
+        else:
+            out = self.generate_fn(self.params, jnp.asarray(ids),
+                                   jnp.asarray(imgs),
+                                   attn_mask=jnp.asarray(mask),
+                                   live=jnp.asarray(live))
         n_gen = int(out["num_generated"])
         toks = np.asarray(out["out_tokens"][:, :n_gen])
         results = []
