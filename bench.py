@@ -701,6 +701,72 @@ def main():
                     else:
                         result[f"decode_bs{B_DEC}_skipped"] = (
                             f"left {left():.0f}s")
+
+                    # ---- speculative verify window (serve --spec-k) ----
+                    # a (W)-token extend forward costs ≈ one decode step
+                    # (both read the full weight tree once — decode is
+                    # HBM-bound); measure the actual ratio and the
+                    # guaranteed-acceptance regime (forced-[EMB] runs
+                    # accept all W rows per window, generation.py).
+                    W_SPEC = 8
+                    if left() > 60:
+                        embedW = jnp.zeros((1, W_SPEC, hid),
+                                           jnp.bfloat16)
+                        cacheW = KVCache.create(qcfg.llm, 1, MAX_LEN,
+                                                jnp.bfloat16)
+
+                        def spec_chain(n, cparams, cache, embed):
+                            def body(s):
+                                i, cache, embed = s
+                                pos = (cache.index + jnp.arange(W_SPEC)
+                                       )[None].astype(jnp.int32)
+                                out = qcore.apply(
+                                    {"params": cparams}, embed, pos,
+                                    cache, None,
+                                    method=VisionLLM.llm_window)
+                                tok = jnp.argmax(
+                                    out["logits"][:, -1, :], axis=-1)
+                                nxt = qcore.apply(
+                                    {"params": cparams},
+                                    jnp.tile(tok[:, None],
+                                             (1, W_SPEC)).astype(
+                                                 jnp.int32),
+                                    method=VisionLLM.embed_tokens)
+                                return (i + 1, out["cache"],
+                                        nxt.astype(embed.dtype))
+
+                            _, cache, embed = jax.lax.while_loop(
+                                lambda s: s[0] < n, body,
+                                (jnp.int32(0), cache, embed))
+                            return jnp.sum(embed).astype(jnp.float32)
+
+                        t = time.time()
+                        sdec = jax.jit(spec_chain).lower(
+                            jnp.int32(DECODE_LO), qparams, cacheW,
+                            embedW).compile()
+                        log(f"spec window compile {time.time()-t:.1f}s")
+
+                        def run_sdec(n):
+                            t = time.perf_counter()
+                            _ = float(sdec(jnp.int32(n), qparams,
+                                           cacheW, embedW))
+                            return time.perf_counter() - t
+
+                        t_w = _slope(run_sdec, DECODE_LO, DECODE_HI,
+                                     f"spec-w{W_SPEC}")
+                        result["spec_window_ms_w8"] = round(t_w * 1e3, 3)
+                        result["spec_window_cost_vs_step"] = round(
+                            t_w / t_q, 3)
+                        result["spec_tok_s_full_accept"] = round(
+                            W_SPEC / t_w, 2)
+                        log(f"spec w{W_SPEC} {t_w*1e3:.2f} ms/window "
+                            f"({t_w/t_q:.2f}x a step) → "
+                            f"{W_SPEC/t_w:.1f} tok/s at full accept")
+                        for leaf in jax.tree.leaves(cacheW):
+                            leaf.delete()
+                        del sdec, cacheW
+                    else:
+                        result["spec_skipped"] = f"left {left():.0f}s"
                 else:
                     result["decode_int8_skipped"] = (
                         f"budget left {left():.0f}s")
