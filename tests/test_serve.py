@@ -210,3 +210,73 @@ def test_spec_k_with_batching_rejected():
         ChatService(cfg, None, MockTokenizer(),
                     image_size=cfg.vis_encoder.image_size,
                     max_batch=2, spec_k=3, dtype=jnp.float32)
+
+
+def test_continuous_batching_service_matches_plain():
+    """--slots continuous batching over a real socket: concurrent
+    requests (joining mid-decode of one another) must each get the
+    answer the plain bs=1 service gives them."""
+    cfg = tiny_test_config(use_gdino=False, use_unipose=False,
+                           use_sd=False, use_ip2p=False,
+                           use_region_encoder=False)
+    tok = MockTokenizer()
+    plain = ChatService(cfg, None, tok,
+                        image_size=cfg.vis_encoder.image_size,
+                        max_new_tokens=8, max_prompt=128,
+                        dtype=jnp.float32)
+    size = cfg.vis_encoder.image_size
+    img_len = (size // 14) ** 2
+    ids = jnp.asarray([[1] + [plain.tid.imp] * img_len + [5, 6]],
+                      jnp.int32)
+    plain.params = plain.core.init(
+        jax.random.PRNGKey(3), ids,
+        jnp.zeros((1, size, size, 3), jnp.float32), plain.tid)["params"]
+    cont = ChatService(cfg, plain.params, tok,
+                       image_size=cfg.vis_encoder.image_size,
+                       max_new_tokens=8, max_prompt=128, slots=2,
+                       dtype=jnp.float32)
+    srv = make_server(cont, port=0, model_name="tiny-cb")
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{port}"
+    try:
+        img = np.random.RandomState(5).randint(0, 255, (40, 56, 3),
+                                               np.uint8)
+        reqs = [
+            {"prompt": "first question"},
+            {"prompt": "second question about the image",
+             "image_b64": base64.b64encode(img.tobytes()).decode(),
+             "image_shape": list(img.shape)},
+            {"prompt": "third one"},
+        ]
+        want = [plain.generate(r["prompt"],
+                               img if "image_b64" in r else None)
+                for r in reqs]
+        results = [None] * len(reqs)
+
+        def fire(i):
+            results[i] = _post(url + "/v1/generate", reqs[i])
+
+        threads = [threading.Thread(target=fire, args=(i,))
+                   for i in range(len(reqs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        for i, (w, r) in enumerate(zip(want, results)):
+            assert r is not None, f"request {i} hung"
+            c, b = r
+            assert c == 200, b
+            assert b["text"] == w["text"], f"request {i} answer changed"
+    finally:
+        srv.shutdown()
+
+
+def test_slots_with_other_modes_rejected():
+    cfg = tiny_test_config(use_gdino=False, use_unipose=False,
+                           use_sd=False, use_ip2p=False,
+                           use_region_encoder=False)
+    with pytest.raises(ValueError, match="continuous batching"):
+        ChatService(cfg, None, MockTokenizer(),
+                    image_size=cfg.vis_encoder.image_size,
+                    max_batch=2, slots=2, dtype=jnp.float32)

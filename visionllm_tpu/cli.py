@@ -219,6 +219,10 @@ def main(argv=None):
                          "into one [B]-vectorized decode")
     sv.add_argument("--batch-window-ms", type=float, default=4.0,
                     help="how long a non-full batch waits for company")
+    sv.add_argument("--slots", type=int, default=0,
+                    help="continuous batching: N decode slots; requests "
+                         "join/leave the batch mid-decode (replaces "
+                         "--max-batch/--spec-k)")
     sv.add_argument("--spec-k", type=int, default=0,
                     help="speculative decoding draft length (latency "
                          "mode, B=1 only; exact greedy — prompt-lookup "
@@ -362,6 +366,7 @@ def main(argv=None):
             conv_version=args.conv, max_new_tokens=args.max_new_tokens,
             max_prompt=args.max_prompt, max_batch=args.max_batch,
             batch_window_ms=args.batch_window_ms, spec_k=args.spec_k,
+            slots=args.slots,
             dtype=jnp.float32 if args.tiny else jnp.bfloat16)
         if params is not None:
             svc.params = params["core"] if "core" in params else params

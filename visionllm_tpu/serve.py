@@ -67,7 +67,7 @@ class ChatService:
                  conv_version: str = "vicuna_v1",
                  max_new_tokens: int = 256, max_prompt: int = 1024,
                  max_batch: int = 1, batch_window_ms: float = 4.0,
-                 spec_k: int = 0, dtype=None):
+                 spec_k: int = 0, slots: int = 0, dtype=None):
         import jax.numpy as jnp
 
         from visionllm_tpu.generation import (
@@ -80,32 +80,47 @@ class ChatService:
                 "spec_k (latency mode) and max_batch>1 (throughput mode) "
                 "are mutually exclusive: speculative acceptance advances "
                 "each stream a different number of tokens per step")
+        if slots > 0 and (max_batch > 1 or spec_k > 0):
+            raise ValueError(
+                "slots (continuous batching) replaces max_batch/spec_k "
+                "— pick one serving mode")
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
         self.image_size = image_size
         self.conv_version = conv_version
         self.max_prompt = max_prompt
+        self.max_new_tokens = max_new_tokens
         self.max_batch = max_batch
         self.batch_window_s = batch_window_ms / 1e3
         self.spec_k = spec_k
+        self.slots = slots
         self.img_len = (image_size // 14) ** 2
         self.tid = SpecialTokenIds.from_tokenizer(tokenizer)
         self.eos_id = getattr(tokenizer, "eos_token_id", None) or 2
         self.core = VisionLLM(cfg, dtype=dtype or jnp.bfloat16)
-        if spec_k > 0:
+        if slots > 0:
+            from visionllm_tpu.slots import build_slot_fns
+            (self._slot_init, self._slot_prefill, self._slot_insert,
+             self._slot_step) = build_slot_fns(
+                self.core, self.tid, n_slots=slots,
+                max_len=max_prompt + max_new_tokens + 8,
+                eos_id=self.eos_id)
+            loop = self._slot_loop
+        elif spec_k > 0:
             self.generate_fn = build_speculative_generate_fn(
                 self.core, self.tid, max_new_tokens=max_new_tokens,
                 eos_id=self.eos_id,
                 max_len=max_prompt + max_new_tokens + 8, k_draft=spec_k)
+            loop = self._dispatch_loop
         else:
             self.generate_fn = build_generate_fn(
                 self.core, self.tid, max_new_tokens=max_new_tokens,
                 eos_id=self.eos_id,
                 max_len=max_prompt + max_new_tokens + 8)
+            loop = self._dispatch_loop
         self._queue: "queue.Queue[_Request]" = queue.Queue()
-        self._dispatcher = threading.Thread(target=self._dispatch_loop,
-                                            daemon=True)
+        self._dispatcher = threading.Thread(target=loop, daemon=True)
         self._dispatcher.start()
 
     # ---- request assembly (caller thread) ----
@@ -151,6 +166,79 @@ class ChatService:
             text = text[:cut]
         return {"text": text.strip(), "num_tokens": int(len(tokens)),
                 "latency_s": round(latency, 4)}
+
+    # ---- continuous-batching scheduler (slots.py engine) ----
+
+    def _slot_loop(self):
+        """Single scheduler thread owns the device state. Each tick:
+        admit waiting requests into free slots (prefill + insert), run
+        ONE decode step for every live slot, hand finished requests
+        their token streams. A request joining mid-decode never
+        perturbs the others (tests/test_slots.py)."""
+        import jax.numpy as jnp
+
+        state, slot_valid = self._slot_init()
+        active = {}                 # slot -> (_Request, [tokens])
+        backlog: List[_Request] = []
+        S = self.image_size
+        L = self.max_prompt
+        while True:
+            # block only when fully idle
+            if not active and not backlog:
+                backlog.append(self._queue.get())
+            while True:
+                try:
+                    backlog.append(self._queue.get_nowait())
+                except queue.Empty:
+                    break
+            try:
+                while backlog and len(active) < self.slots:
+                    r = backlog.pop(0)
+                    slot = next(s for s in range(self.slots)
+                                if s not in active)
+                    n = len(r.ids)
+                    ids = np.zeros((1, L), np.int32)
+                    mask = np.zeros((1, L), bool)
+                    ids[0, L - n:] = r.ids
+                    mask[0, L - n:] = True
+                    img = np.zeros((1, 1, S, S, 3), np.float32)
+                    if r.image is not None:
+                        img[0, 0] = r.image
+                    pre = self._slot_prefill(
+                        self.params, jnp.asarray(ids), jnp.asarray(img),
+                        jnp.asarray(mask))
+                    state, slot_valid = self._slot_insert(
+                        state, jnp.asarray(slot), pre["first"],
+                        pre["embed"], pre["cache"], pre["valid"],
+                        slot_valid)
+                    first = int(pre["first"])
+                    if first == self.eos_id or self.max_new_tokens <= 1:
+                        r.tokens = np.asarray([first], np.int32)
+                        r.event.set()
+                    else:
+                        active[slot] = (r, [first])
+                if active:
+                    out = self._slot_step(self.params, state, slot_valid)
+                    state = out["state"]
+                    toks = np.asarray(out["token"])
+                    fins = np.asarray(out["finished"])
+                    for slot in list(active):
+                        r, stream = active[slot]
+                        stream.append(int(toks[slot]))
+                        if fins[slot] or len(stream) >= self.max_new_tokens:
+                            r.tokens = np.asarray(stream, np.int32)
+                            r.event.set()
+                            del active[slot]
+            except BaseException as e:              # noqa: BLE001
+                for r, _ in active.values():
+                    r.error = e
+                    r.event.set()
+                for r in backlog:
+                    r.error = e
+                    r.event.set()
+                active.clear()
+                backlog.clear()
+                state, slot_valid = self._slot_init()
 
     # ---- batching dispatcher (single thread owns the TPU) ----
 

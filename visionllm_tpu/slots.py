@@ -1,0 +1,265 @@
+"""Continuous batching: requests join and leave the decode batch
+mid-flight (slot-based serving, the vLLM scheduling model without
+paging — one static KV region per slot).
+
+The static micro-batching of `serve.ChatService` (`--max-batch`) runs
+each coalesced batch to completion: a short answer waits for the
+longest one in its batch, and a request arriving mid-decode waits for
+the whole batch. Here the decode batch is a set of SLOTS with
+independent fill levels:
+
+  * `prefill(params, ids, images, attn_mask)` — one request's prompt
+    through the full vision+LLM prefill (left-padded to the compiled
+    length), returning its first sampled token, next-step embedding,
+    and a single-row KV cache.
+  * `insert(state, slot, pre)` — copy that row into slot `slot` of the
+    persistent multi-slot state (one `dynamic_update_slice` per cache
+    buffer; O(1) programs, `slot` is a traced scalar).
+  * `step(params, state)` — ONE token for every live slot. Each slot
+    attends its own history under its own fill level: the single-row
+    decode step (scalar cache index — the machinery `build_generate_fn`
+    compiles) is `jax.vmap`-ed over slots, so per-slot positions,
+    causal masks, and cache writes all fall out of the existing
+    scalar-index path. Dead slots compute too (static shapes) but
+    neither advance their index nor surface tokens.
+
+The tool-token state machine ([DET]/[GEN]/... → forced [EMB] rows,
+generation.py) runs per-slot inside `step`, so perception/generation
+triggers decode correctly mid-batch.
+
+Equivalence contract: a request decoded through slots — at any
+arrival time, next to any other traffic — produces exactly the tokens
+`build_generate_fn` produces for it alone (tests/test_slots.py).
+
+Host-side scheduling (admission, eviction, HTTP) lives in
+`serve.SlotScheduler`; this module is the device program set.
+
+Reference: the upstream serves nothing (generation is offline bs=1,
+evaluate_vqa.py:531); this is a capability extension for production
+serving. Design per the continuous-batching literature (Orca/vLLM),
+re-shaped for XLA: fixed shapes, no paging, host drives admission.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from visionllm_tpu import constants as C
+from visionllm_tpu.generation import _tool_kind
+from visionllm_tpu.models.llama import KVCache
+from visionllm_tpu.models.visionllm import SpecialTokenIds, VisionLLM
+
+
+@flax.struct.dataclass
+class SlotState:
+    cache: KVCache              # index: [S] int32 — PER-SLOT fill level
+    cur_embed: jnp.ndarray      # [S, 1, C] next decode input per slot
+    emb_countdown: jnp.ndarray  # [S] int32
+    emb_kind: jnp.ndarray       # [S] int32
+    live: jnp.ndarray           # [S] bool
+
+
+def build_slot_fns(
+    model: VisionLLM,
+    tid: SpecialTokenIds,
+    *,
+    n_slots: int,
+    max_len: int = 4096,
+    eos_id: int = 2,
+):
+    """Returns (init_state, prefill, insert, step) — all jitted except
+    init_state. `step` emits one token per slot per call; the host
+    reads them, detects per-slot EOS/length stop, and frees slots."""
+    cfg = model.cfg
+    num_embs, num_embs_gen = cfg.num_embs, cfg.num_embs_gen
+    cache_dtype = (jnp.int8 if cfg.llm.kv_quant == "int8"
+                   else model.dtype)
+    quant_kv = cache_dtype == jnp.int8
+    hid = cfg.llm.hidden_size
+
+    def init_state():
+        """Returns (state, slot_valid): slot_valid [S, max_len] is the
+        per-slot buffer mask (True where the slot's cache positions are
+        attendable — prompt pads stay False for the slot's lifetime)."""
+        cache = KVCache.create(cfg.llm, n_slots, max_len,
+                               dtype=cache_dtype)
+        cache = cache.replace(
+            index=jnp.zeros((n_slots,), jnp.int32))
+        state = SlotState(
+            cache=cache,
+            cur_embed=jnp.zeros((n_slots, 1, hid), model.dtype),
+            emb_countdown=jnp.zeros((n_slots,), jnp.int32),
+            emb_kind=jnp.zeros((n_slots,), jnp.int32),
+            live=jnp.zeros((n_slots,), bool),
+        )
+        return state, jnp.ones((n_slots, max_len), bool)
+
+    def prefill(params, input_ids: jnp.ndarray,
+                images: Optional[jnp.ndarray],
+                attn_mask: Optional[jnp.ndarray] = None,
+                regions: Optional[jnp.ndarray] = None,
+                first_token: Optional[jnp.ndarray] = None
+                ) -> Dict[str, Any]:
+        """[1, Lp] prompt → first token + embedding + single-row cache.
+        Left-pad under attn_mask for the one-compiled-shape contract."""
+        cache = KVCache.create(cfg.llm, 1, max_len, dtype=cache_dtype)
+        out = model.apply({"params": params}, input_ids, images, tid,
+                          attn_mask=attn_mask, cache=cache,
+                          regions=regions)
+        first = jnp.argmax(out["logits"][:, -1, :], axis=-1
+                           ).astype(jnp.int32)
+        if first_token is not None:
+            first = jnp.broadcast_to(
+                jnp.asarray(first_token, jnp.int32), first.shape)
+        embed = model.apply({"params": params}, first[:, None],
+                            method=VisionLLM.embed_tokens)
+        # buffer-valid mask for decode: pads invisible forever
+        if attn_mask is not None:
+            valid = jnp.concatenate(
+                [attn_mask.astype(bool)[0],
+                 jnp.ones((max_len - input_ids.shape[1],), bool)])
+        else:
+            valid = jnp.ones((max_len,), bool)
+        return {"first": first[0], "embed": embed,
+                "cache": out["cache"], "valid": valid}
+
+    def insert(state: SlotState, slot: jnp.ndarray, first: jnp.ndarray,
+               embed: jnp.ndarray, row_cache: KVCache,
+               valid: jnp.ndarray, slot_valid: jnp.ndarray
+               ) -> SlotState:
+        """Copy a prefilled request into slot `slot` (traced scalar).
+        `slot_valid` is the [S, max_len] per-slot buffer mask carried
+        alongside (returned updated — see step())."""
+        c = state.cache
+        k = jax.lax.dynamic_update_slice(c.k, row_cache.k,
+                                         (0, slot, 0, 0, 0))
+        v = jax.lax.dynamic_update_slice(c.v, row_cache.v,
+                                         (0, slot, 0, 0, 0))
+        if quant_kv:
+            ks = jax.lax.dynamic_update_slice(
+                c.k_scale, row_cache.k_scale, (0, slot, 0, 0))
+            vs = jax.lax.dynamic_update_slice(
+                c.v_scale, row_cache.v_scale, (0, slot, 0, 0))
+        else:
+            ks = vs = None
+        index = c.index.at[slot].set(row_cache.index)
+        kind0 = _tool_kind(first, tid)
+        total0 = jnp.where(kind0 >= C.TOOL_GEN, num_embs_gen, num_embs)
+        new_state = SlotState(
+            cache=KVCache(k=k, v=v, index=index, k_scale=ks, v_scale=vs),
+            cur_embed=jax.lax.dynamic_update_slice(
+                state.cur_embed, embed.astype(state.cur_embed.dtype),
+                (slot, 0, 0)),
+            emb_countdown=state.emb_countdown.at[slot].set(
+                jnp.where(kind0 > 0, total0, 0)),
+            emb_kind=state.emb_kind.at[slot].set(kind0),
+            live=state.live.at[slot].set(first != eos_id),
+        )
+        slot_valid = jax.lax.dynamic_update_slice(
+            slot_valid, valid[None], (slot, 0))
+        return new_state, slot_valid
+
+    # ---- one decode step for ONE slot (scalar cache index) ----------
+    def _row_step(params, e_row, k, v, ks, vs, idx, valid_row):
+        row_cache = KVCache(
+            k=k[:, None], v=v[:, None], index=idx,
+            k_scale=None if ks is None else ks[:, None],
+            v_scale=None if vs is None else vs[:, None])
+        pos = jnp.broadcast_to(idx[None, None], (1, 1)).astype(jnp.int32)
+        out = model.apply({"params": params}, e_row[None], pos,
+                          row_cache, valid_row[None],
+                          method=VisionLLM.llm_step)
+        nc = out["cache"]
+        return (out["logits"][0], out["hidden"][0],
+                nc.k[:, 0], nc.v[:, 0],
+                None if nc.k_scale is None else nc.k_scale[:, 0],
+                None if nc.v_scale is None else nc.v_scale[:, 0])
+
+    def step(params, state: SlotState, slot_valid: jnp.ndarray
+             ) -> Dict[str, Any]:
+        """One token for every slot. Returns dict with `state`,
+        `token` [S] (0 on dead slots), `done` [S] (newly finished)."""
+        c = state.cache
+        if quant_kv:
+            logits, hidden, nk, nv, nks, nvs = jax.vmap(
+                _row_step, in_axes=(None, 0, 1, 1, 1, 1, 0, 0),
+                out_axes=(0, 0, 1, 1, 1, 1))(
+                    params, state.cur_embed, c.k, c.v, c.k_scale,
+                    c.v_scale, c.index, slot_valid)
+        else:
+            def _row_nq(params, e_row, k, v, idx, valid_row):
+                out = _row_step(params, e_row, k, v, None, None, idx,
+                                valid_row)
+                return out[0], out[1], out[2], out[3]
+
+            logits, hidden, nk, nv = jax.vmap(
+                _row_nq, in_axes=(None, 0, 1, 1, 0, 0),
+                out_axes=(0, 0, 1, 1))(
+                    params, state.cur_embed, c.k, c.v, c.index,
+                    slot_valid)
+            nks = nvs = None
+
+        sampled = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+
+        # per-slot emb-countdown machine (same as generation.step_fn)
+        forcing = state.emb_countdown > 0
+        total = jnp.where(state.emb_kind >= C.TOOL_GEN, num_embs_gen,
+                          num_embs)
+        offset = total - state.emb_countdown
+        forced_token = jnp.where(
+            state.emb_kind >= C.TOOL_GEN, tid.emb, tid.emb + offset)
+        next_token = jnp.where(forcing, forced_token, sampled)
+
+        tables = {
+            C.TOOL_DET: params["emb_embeddings_det"],
+            C.TOOL_POSE: params["emb_embeddings_pose"],
+            C.TOOL_GEN: params["emb_embeddings_gen"],
+            C.TOOL_EDIT: params["emb_embeddings_edit"],
+        }
+        next_embed = model.apply({"params": params}, next_token[:, None],
+                                 method=VisionLLM.embed_tokens)
+        for code, table in tables.items():
+            n = table.shape[0]
+            row = table[jnp.clip(offset, 0, n - 1)]
+            use = forcing & (state.emb_kind == code)
+            next_embed = jnp.where(
+                use[:, None, None],
+                row[:, None, :].astype(next_embed.dtype), next_embed)
+
+        new_kind = _tool_kind(sampled, tid)
+        started = (~forcing) & (new_kind > 0)
+        start_total = jnp.where(new_kind >= C.TOOL_GEN, num_embs_gen,
+                                num_embs)
+        countdown = jnp.where(
+            forcing, state.emb_countdown - 1,
+            jnp.where(started, start_total, 0))
+        kind = jnp.where(forcing, state.emb_kind,
+                         jnp.where(started, new_kind, 0))
+
+        ended = (~forcing) & (sampled == eos_id)
+        live = state.live
+        token_out = jnp.where(live, next_token, 0)
+        # dead slots do not advance (their garbage writes land on the
+        # same masked position until the slot is reused)
+        index = jnp.where(live, c.index + 1, c.index)
+
+        new_state = SlotState(
+            cache=KVCache(k=nk, v=nv, index=index,
+                          k_scale=nks, v_scale=nvs),
+            cur_embed=next_embed,
+            emb_countdown=jnp.where(live, countdown,
+                                    state.emb_countdown),
+            emb_kind=jnp.where(live, kind, state.emb_kind),
+            live=live & ~ended,
+        )
+        return {"state": new_state, "token": token_out,
+                "hidden": hidden[:, -1, :].astype(jnp.float32),
+                "finished": live & ended}
+
+    return (init_state, jax.jit(prefill),
+            jax.jit(insert, donate_argnums=(0, 6)),
+            jax.jit(step, donate_argnums=(1,)))
