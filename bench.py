@@ -588,6 +588,92 @@ def main():
                     log(f"decode int8 {t_q*1e3:.2f} ms/tok → "
                         f"{1/t_q:.1f} tok/s")
 
+                    # ---- int4 weight-only decode (serve --quant int4) ----
+                    # w4g128 packed nibbles + Pallas fused
+                    # unpack-dequant-matmul (ops/quant4.py): 0.5 B/param
+                    # streamed per token. Timing is value-independent,
+                    # so the tree is fresh-initialized at the int4
+                    # SHAPES (quantizing real weights takes the same
+                    # path; quality is the w4g128 recipe's).
+                    if left() > 90:
+                        i4cfg = dataclasses.replace(
+                            cfg, llm=dataclasses.replace(cfg.llm,
+                                                         quant="int4"))
+                        i4core = VisionLLM(i4cfg, jnp.bfloat16)
+
+                        def i4_init(r):
+                            p = i4core.init(r, embed0, pos0, cache0,
+                                            tok0,
+                                            method=dec_init_method
+                                            )["params"]
+                            return jax.tree.map(
+                                lambda x: x.astype(jnp.bfloat16)
+                                if x.dtype == jnp.float32 else x, p)
+
+                        def i4decode_chain(n, cparams, cache, embed):
+                            def step(cparams, cache, embed):
+                                B = embed.shape[0]
+                                pos = jnp.broadcast_to(
+                                    cache.index[None, None],
+                                    (B, 1)).astype(jnp.int32)
+                                out = i4core.apply(
+                                    {"params": cparams}, embed, pos,
+                                    cache, method=VisionLLM.llm_step)
+                                tok = jnp.argmax(
+                                    out["logits"][:, -1, :], axis=-1)
+                                nxt = i4core.apply(
+                                    {"params": cparams},
+                                    tok[:, None].astype(jnp.int32),
+                                    method=VisionLLM.embed_tokens)
+                                return out["cache"], nxt.astype(
+                                    embed.dtype)
+
+                            def body(s):
+                                i, cache, embed = s
+                                cache, embed = step(cparams, cache,
+                                                    embed)
+                                return i + 1, cache, embed
+
+                            _, cache, embed = jax.lax.while_loop(
+                                lambda s: s[0] < n, body,
+                                (jnp.int32(0), cache, embed))
+                            return jnp.sum(embed).astype(jnp.float32)
+
+                        try:
+                            i4params = jax.jit(i4_init)(
+                                jax.random.PRNGKey(0))
+                            jax.block_until_ready(i4params)
+                            t = time.time()
+                            i4dec = jax.jit(i4decode_chain).lower(
+                                jnp.int32(DECODE_LO), i4params, cache0,
+                                embed0).compile()
+                            log(f"int4 decode compile "
+                                f"{time.time()-t:.1f}s")
+
+                            def run_i4(n):
+                                t = time.perf_counter()
+                                _ = float(i4dec(jnp.int32(n), i4params,
+                                                cache0, embed0))
+                                return time.perf_counter() - t
+
+                            t_4 = _slope(run_i4, DECODE_LO, DECODE_HI,
+                                         "decode-int4")
+                            result["decode_tok_s_int4"] = round(
+                                1.0 / t_4, 2)
+                            result["decode_int4_hbm_util"] = round(
+                                0.5 * pl / (t_4 * PEAK_HBM), 4)
+                            log(f"decode int4 {t_4*1e3:.2f} ms/tok → "
+                                f"{1/t_4:.1f} tok/s")
+                            for leaf in jax.tree.leaves(i4params):
+                                leaf.delete()
+                            del i4dec, i4params
+                        except Exception as e:      # noqa: BLE001
+                            result["decode_int4_error"] = str(e)[:200]
+                            log(f"int4 decode failed: {e}")
+                    else:
+                        result["decode_int4_skipped"] = (
+                            f"left {left():.0f}s")
+
                     # ---- long-context serving: int8 KV cache @4096 ----
                     # at 4 k context the bf16 cache is 2.1 GB per token
                     # of read traffic next to the 6.7 GB int8 weight

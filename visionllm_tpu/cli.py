@@ -45,7 +45,8 @@ def _load_model_and_params(args, tiny: bool = False):
         # checkpoints are stored bf16/f32; rewrite the LLM matmul
         # kernels to the int8 layout the quantized modules consume
         from visionllm_tpu.ops.quant import quantize_serving_params
-        params = quantize_serving_params(params)
+        params = quantize_serving_params(
+            params, bits=4 if args.quant == "int4" else 8)
     tokenizer = None
     if args.tokenizer:
         from transformers import AutoTokenizer
@@ -108,7 +109,7 @@ def _common(sub):
     sub.add_argument("--tokenizer", default=None)
     sub.add_argument("--limit", type=int, default=None)
     sub.add_argument("--tiny", action="store_true")
-    sub.add_argument("--quant", default="", choices=["", "int8"],
+    sub.add_argument("--quant", default="", choices=["", "int8", "int4"],
                      help="serving-only weight quantization of the LLM "
                           "matmuls (ops/quant.py)")
     sub.add_argument("--kv-quant", default="", choices=["", "int8"],
@@ -183,7 +184,7 @@ def main(argv=None):
     reg.add_argument("--limit", type=int, default=None)
     reg.add_argument("--tiny", action="store_true")
     reg.add_argument("--max-new-tokens", type=int, default=None)
-    reg.add_argument("--quant", default="", choices=["", "int8"])
+    reg.add_argument("--quant", default="", choices=["", "int8", "int4"])
     reg.add_argument("--kv-quant", default="", choices=["", "int8"])
     vqa = subs.add_parser(
         "eval-vqa", help="VQA benchmark runners (MME/POPE/MMBench/SEED/"
@@ -201,7 +202,7 @@ def main(argv=None):
     vqa.add_argument("--limit", type=int, default=None)
     vqa.add_argument("--tiny", action="store_true")
     vqa.add_argument("--max-new-tokens", type=int, default=None)
-    vqa.add_argument("--quant", default="", choices=["", "int8"])
+    vqa.add_argument("--quant", default="", choices=["", "int8", "int4"])
     vqa.add_argument("--kv-quant", default="", choices=["", "int8"])
     sv = subs.add_parser(
         "serve", help="HTTP serving front-end (POST /v1/generate)")
@@ -227,7 +228,7 @@ def main(argv=None):
                     help="speculative decoding draft length (latency "
                          "mode, B=1 only; exact greedy — prompt-lookup "
                          "drafts + windowed forced-[EMB] runs)")
-    sv.add_argument("--quant", default="", choices=["", "int8"])
+    sv.add_argument("--quant", default="", choices=["", "int8", "int4"])
     sv.add_argument("--kv-quant", default="", choices=["", "int8"])
     tr = subs.add_parser("train")
     tr.add_argument("--model-config", default=None)

@@ -56,8 +56,9 @@ class LLMConfig:
     # LoRA (reference wrap_llm_lora: r=32, alpha=64 on qkvo + MLP)
     lora_r: int = 0
     lora_alpha: float = 64.0
-    # serving-only: "" (bf16) | "int8" — int8 weight-only matmuls
-    # (ops/quant.py); params produced by quantize_llm_params
+    # serving-only: "" (bf16) | "int8" | "int4" — weight-only quantized
+    # matmuls (ops/quant.py int8 per-out-channel; ops/quant4.py w4g128
+    # packed-nibble Pallas kernel); params from quantize_serving_params
     quant: str = ""
     # serving-only KV-cache storage: "" (model dtype) | "int8" —
     # per-(token, head)-scaled int8 cache, halves decode cache reads

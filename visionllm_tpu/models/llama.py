@@ -88,6 +88,10 @@ class LlamaDecoderLayer(nn.Module):
             from visionllm_tpu.ops.quant import Int8Dense
             dense = lambda feats, name: Int8Dense(
                 feats, dtype=self.dtype, name=name)
+        elif cfg.quant == "int4":
+            from visionllm_tpu.ops.quant4 import Int4Dense
+            dense = lambda feats, name: Int4Dense(
+                feats, dtype=self.dtype, name=name)
         else:
             dense = lambda feats, name: nn.Dense(
                 feats, use_bias=False, dtype=self.dtype, name=name)
@@ -220,6 +224,10 @@ class LlamaModel(nn.Module):
         if cfg.quant == "int8":
             from visionllm_tpu.ops.quant import Int8Dense
             self.lm_head = Int8Dense(cfg.vocab_size, dtype=self.dtype,
+                                     name="lm_head")
+        elif cfg.quant == "int4":
+            from visionllm_tpu.ops.quant4 import Int4Dense
+            self.lm_head = Int4Dense(cfg.vocab_size, dtype=self.dtype,
                                      name="lm_head")
         else:
             self.lm_head = nn.Dense(cfg.vocab_size, use_bias=False,

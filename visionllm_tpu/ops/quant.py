@@ -209,19 +209,27 @@ def quantize_llm_params(llm_params: dict, *, jit: bool = True,
     return rewrite(llm_params, ())
 
 
-def quantize_serving_params(params: dict, **kw) -> dict:
-    """`quantize_llm_params` applied at whatever level the LLM lives:
-    a composite tree (``core/llm``), a core tree (``llm``), or a bare
-    LlamaModel tree. Returns a new top-level dict; non-LLM subtrees are
-    shared by reference."""
+def quantize_serving_params(params: dict, *, bits: int = 8,
+                            **kw) -> dict:
+    """`quantize_llm_params` (``bits=8``) or int4 packing (``bits=4``,
+    ops/quant4.py) applied at whatever level the LLM lives: a composite
+    tree (``core/llm``), a core tree (``llm``), or a bare LlamaModel
+    tree. Returns a new top-level dict; non-LLM subtrees are shared by
+    reference."""
+    if bits == 4:
+        from visionllm_tpu.ops.quant4 import quantize_llm_params_int4
+        kw.pop("jit", None)
+        quant = lambda t: quantize_llm_params_int4(t, **kw)
+    else:
+        quant = lambda t: quantize_llm_params(t, **kw)
     if "core" in params and "llm" in params["core"]:
         out = dict(params)
         core = dict(params["core"])
-        core["llm"] = quantize_llm_params(params["core"]["llm"], **kw)
+        core["llm"] = quant(params["core"]["llm"])
         out["core"] = core
         return out
     if "llm" in params:
         out = dict(params)
-        out["llm"] = quantize_llm_params(params["llm"], **kw)
+        out["llm"] = quant(params["llm"])
         return out
-    return quantize_llm_params(params, **kw)
+    return quant(params)
