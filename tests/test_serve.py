@@ -280,3 +280,46 @@ def test_slots_with_other_modes_rejected():
         ChatService(cfg, None, MockTokenizer(),
                     image_size=cfg.vis_encoder.image_size,
                     max_batch=2, slots=2, dtype=jnp.float32)
+
+
+def test_chunked_prefill_service_matches_plain():
+    """--slots + --prefill-chunk: admissions run in prompt chunks with
+    decode interleaved; answers still match the plain service."""
+    cfg = tiny_test_config(use_gdino=False, use_unipose=False,
+                           use_sd=False, use_ip2p=False,
+                           use_region_encoder=False)
+    tok = MockTokenizer()
+    plain = ChatService(cfg, None, tok,
+                        image_size=cfg.vis_encoder.image_size,
+                        max_new_tokens=8, max_prompt=96,
+                        dtype=jnp.float32)
+    size = cfg.vis_encoder.image_size
+    img_len = (size // 14) ** 2
+    ids = jnp.asarray([[1] + [plain.tid.imp] * img_len + [5, 6]],
+                      jnp.int32)
+    plain.params = plain.core.init(
+        jax.random.PRNGKey(9), ids,
+        jnp.zeros((1, size, size, 3), jnp.float32), plain.tid)["params"]
+    chunked = ChatService(cfg, plain.params, tok,
+                          image_size=cfg.vis_encoder.image_size,
+                          max_new_tokens=8, max_prompt=96, slots=2,
+                          prefill_chunk=32, dtype=jnp.float32)
+    img = np.random.RandomState(6).randint(0, 255, (48, 40, 3), np.uint8)
+    reqs = [("tell me a story", None), ("what is here", img),
+            ("short", None)]
+    want = [plain.generate(p, i) for p, i in reqs]
+    results = [None] * len(reqs)
+
+    def fire(i):
+        p, im = reqs[i]
+        results[i] = chunked.generate(p, im)
+
+    threads = [threading.Thread(target=fire, args=(i,))
+               for i in range(len(reqs))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    for i, (w, r) in enumerate(zip(want, results)):
+        assert r is not None, f"request {i} hung"
+        assert r["text"] == w["text"], f"request {i} answer changed"

@@ -186,3 +186,96 @@ def test_tool_countdown_in_slot(setup):
     np.testing.assert_array_equal(
         toks[1:1 + CFG.num_embs],
         [TID.emb + i for i in range(CFG.num_embs)])
+
+
+def _extend_valid(mask, max_len=128):
+    return jnp.concatenate(
+        [mask[0], jnp.ones((max_len - mask.shape[1],), bool)])
+
+
+def test_chunked_prefill_matches_monolithic(setup):
+    """Running the prompt through the LLM in 16-token windows must
+    yield the same first token and the same subsequent decode stream
+    as the one-shot prefill."""
+    from visionllm_tpu.slots import build_chunked_prefill_fns
+
+    model, params, prompts, images, solo = setup
+    init_state, prefill, insert, step = build_slot_fns(
+        model, TID, n_slots=1, max_len=128)
+    new_row, embed_prompt, prefill_chunk, finish = (
+        build_chunked_prefill_fns(model, TID, chunk=16, max_len=128))
+
+    for i in range(2):
+        ids, mask = _pad(prompts[i])            # L_PAD=48 → 3 chunks
+        emb = embed_prompt(params, ids, jnp.asarray(images[i:i + 1]))
+        cache_row = new_row()
+        valid = _extend_valid(mask)
+        last = None
+        for k in range(L_PAD // 16):
+            cache_row, last = prefill_chunk(
+                params, emb[:, k * 16:(k + 1) * 16], cache_row, valid)
+        first, embed = finish(params, last)
+
+        mono = prefill(params, ids, jnp.asarray(images[i:i + 1]), mask)
+        assert int(first[0]) == int(mono["first"]), f"req {i}"
+
+        # same decode stream through a slot
+        state, slot_valid = init_state()
+        state, slot_valid = insert(state, jnp.asarray(0), first[0],
+                                   embed, cache_row, valid, slot_valid)
+        toks = [int(first[0])]
+        for _ in range(MAX_NEW - 1):
+            out = step(params, state, slot_valid)
+            state = out["state"]
+            toks.append(int(np.asarray(out["token"])[0]))
+        want = solo[i]
+        np.testing.assert_array_equal(
+            np.asarray(toks[:len(want)]), want, err_msg=f"req {i}")
+
+
+def test_chunked_prefill_interleaved_with_decode(setup):
+    """Decode steps for a live slot BETWEEN the chunks of a new
+    admission: neither request's stream changes."""
+    from visionllm_tpu.slots import build_chunked_prefill_fns
+
+    model, params, prompts, images, solo = setup
+    init_state, prefill, insert, step = build_slot_fns(
+        model, TID, n_slots=2, max_len=128)
+    new_row, embed_prompt, prefill_chunk, finish = (
+        build_chunked_prefill_fns(model, TID, chunk=16, max_len=128))
+
+    # request 0 admitted monolithically and decoding
+    ids0, mask0 = _pad(prompts[0])
+    pre0 = prefill(params, ids0, jnp.asarray(images[:1]), mask0)
+    state, slot_valid = init_state()
+    state, slot_valid = insert(state, jnp.asarray(0), pre0["first"],
+                               pre0["embed"], pre0["cache"],
+                               pre0["valid"], slot_valid)
+    s0 = [int(pre0["first"])]
+
+    # request 1 prefills in chunks; slot 0 decodes between chunks
+    ids1, mask1 = _pad(prompts[1])
+    emb = embed_prompt(params, ids1, jnp.asarray(images[1:2]))
+    cache_row = new_row()
+    valid1 = _extend_valid(mask1)
+    last = None
+    for k in range(L_PAD // 16):
+        cache_row, last = prefill_chunk(
+            params, emb[:, k * 16:(k + 1) * 16], cache_row, valid1)
+        out = step(params, state, slot_valid)
+        state = out["state"]
+        s0.append(int(np.asarray(out["token"])[0]))
+    first1, embed1 = finish(params, last)
+    state, slot_valid = insert(state, jnp.asarray(1), first1[0], embed1,
+                               cache_row, valid1, slot_valid)
+    s1 = [int(first1[0])]
+    while len(s0) < MAX_NEW or len(s1) < MAX_NEW:
+        out = step(params, state, slot_valid)
+        state = out["state"]
+        toks = np.asarray(out["token"])
+        if len(s0) < MAX_NEW:
+            s0.append(int(toks[0]))
+        if len(s1) < MAX_NEW:
+            s1.append(int(toks[1]))
+    np.testing.assert_array_equal(np.asarray(s0[:len(solo[0])]), solo[0])
+    np.testing.assert_array_equal(np.asarray(s1[:len(solo[1])]), solo[1])

@@ -224,6 +224,11 @@ def main(argv=None):
                     help="continuous batching: N decode slots; requests "
                          "join/leave the batch mid-decode (replaces "
                          "--max-batch/--spec-k)")
+    sv.add_argument("--prefill-chunk", type=int, default=0,
+                    help="with --slots: admit prompts in C-token LLM "
+                         "chunks, interleaving decode steps so a long "
+                         "prompt stalls live streams by one chunk, not "
+                         "the whole prefill")
     sv.add_argument("--spec-k", type=int, default=0,
                     help="speculative decoding draft length (latency "
                          "mode, B=1 only; exact greedy — prompt-lookup "
@@ -367,7 +372,7 @@ def main(argv=None):
             conv_version=args.conv, max_new_tokens=args.max_new_tokens,
             max_prompt=args.max_prompt, max_batch=args.max_batch,
             batch_window_ms=args.batch_window_ms, spec_k=args.spec_k,
-            slots=args.slots,
+            slots=args.slots, prefill_chunk=args.prefill_chunk,
             dtype=jnp.float32 if args.tiny else jnp.bfloat16)
         if params is not None:
             svc.params = params["core"] if "core" in params else params

@@ -351,6 +351,32 @@ class VisionLLM(nn.Module):
         compute_logits: bool = True,
     ):
         """Returns dict(hidden, logits, cache, vit_hidden_states)."""
+        inputs_embeds, ignore_flag, vit_hs = self.build_prompt_embeds(
+            input_ids, images, tid, regions=regions,
+            region_features=region_features)
+        if positions is None:
+            B, L = input_ids.shape
+            positions = jnp.broadcast_to(jnp.arange(L)[None], (B, L))
+        hidden, logits, new_cache = self.llm(
+            inputs_embeds, positions, attn_mask=attn_mask, cache=cache,
+            compute_logits=compute_logits)
+        return {"hidden": hidden, "logits": logits, "cache": new_cache,
+                "ignore_flag": ignore_flag,
+                "vit_hidden_states": vit_hs}
+
+    def build_prompt_embeds(
+        self,
+        input_ids: jnp.ndarray,             # [B, L]
+        images: Optional[jnp.ndarray],      # [N, H, W, 3] or None
+        tid: SpecialTokenIds,
+        regions: Optional[jnp.ndarray] = None,
+        region_features: Optional[jnp.ndarray] = None,
+    ):
+        """The multimodal embedding assembly of the prefill WITHOUT the
+        LLM: token embeddings + [EMB]-table splice + image-feature
+        scatter (+ region encoder). Separated so chunked prefill
+        (slots.py) can run the LLM over the result in bounded windows.
+        Returns (inputs_embeds [B, L, C], ignore_flag, vit_hidden)."""
         cfg = self.cfg
         inputs_embeds = self.embed_tokens(input_ids)
         inputs_embeds = self.splice_emb_embeddings(inputs_embeds, input_ids,
@@ -416,12 +442,4 @@ class VisionLLM(nn.Module):
             inputs_embeds = self.scatter_image_features(
                 inputs_embeds, input_ids, region_features[:, None, :],
                 tid.reg)
-        if positions is None:
-            B, L = input_ids.shape
-            positions = jnp.broadcast_to(jnp.arange(L)[None], (B, L))
-        hidden, logits, new_cache = self.llm(
-            inputs_embeds, positions, attn_mask=attn_mask, cache=cache,
-            compute_logits=compute_logits)
-        return {"hidden": hidden, "logits": logits, "cache": new_cache,
-                "ignore_flag": ignore_flag,
-                "vit_hidden_states": vit_hs}
+        return inputs_embeds, ignore_flag, vit_hs

@@ -67,7 +67,8 @@ class ChatService:
                  conv_version: str = "vicuna_v1",
                  max_new_tokens: int = 256, max_prompt: int = 1024,
                  max_batch: int = 1, batch_window_ms: float = 4.0,
-                 spec_k: int = 0, slots: int = 0, dtype=None):
+                 spec_k: int = 0, slots: int = 0,
+                 prefill_chunk: int = 0, dtype=None):
         import jax.numpy as jnp
 
         from visionllm_tpu.generation import (
@@ -100,12 +101,24 @@ class ChatService:
         self.eos_id = getattr(tokenizer, "eos_token_id", None) or 2
         self.core = VisionLLM(cfg, dtype=dtype or jnp.bfloat16)
         if slots > 0:
-            from visionllm_tpu.slots import build_slot_fns
+            from visionllm_tpu.slots import (build_chunked_prefill_fns,
+                                             build_slot_fns)
+            self.prefill_chunk = prefill_chunk
+            if prefill_chunk > 0:
+                # pad prompts up to a chunk multiple so every chunk is
+                # full-width (left-pad under the attention mask)
+                self.max_prompt = (-(-max_prompt // prefill_chunk)
+                                   * prefill_chunk)
+            slot_max_len = self.max_prompt + max_new_tokens + 8
             (self._slot_init, self._slot_prefill, self._slot_insert,
              self._slot_step) = build_slot_fns(
                 self.core, self.tid, n_slots=slots,
-                max_len=max_prompt + max_new_tokens + 8,
-                eos_id=self.eos_id)
+                max_len=slot_max_len, eos_id=self.eos_id)
+            if prefill_chunk > 0:
+                (self._chunk_row, self._chunk_embed, self._chunk_run,
+                 self._chunk_finish) = build_chunked_prefill_fns(
+                    self.core, self.tid, chunk=prefill_chunk,
+                    max_len=slot_max_len)
             loop = self._slot_loop
         elif spec_k > 0:
             self.generate_fn = build_speculative_generate_fn(
@@ -204,9 +217,37 @@ class ChatService:
                     img = np.zeros((1, 1, S, S, 3), np.float32)
                     if r.image is not None:
                         img[0, 0] = r.image
-                    pre = self._slot_prefill(
-                        self.params, jnp.asarray(ids), jnp.asarray(img),
-                        jnp.asarray(mask))
+                    if self.prefill_chunk > 0:
+                        # chunked admission: live slots keep decoding
+                        # between chunks, so the stall a long prompt
+                        # causes is one chunk, not the whole prefill
+                        C = self.prefill_chunk
+                        emb = self._chunk_embed(
+                            self.params, jnp.asarray(ids),
+                            jnp.asarray(img))
+                        cache_row = self._chunk_row()
+                        valid = jnp.concatenate(
+                            [jnp.asarray(mask[0]),
+                             jnp.ones((cache_row.k.shape[2] - L,),
+                                      bool)])
+                        last = None
+                        for k in range(L // C):
+                            cache_row, last = self._chunk_run(
+                                self.params, emb[:, k * C:(k + 1) * C],
+                                cache_row, valid)
+                            if active:
+                                out = self._slot_step(
+                                    self.params, state, slot_valid)
+                                state = out["state"]
+                                self._dispatch_tokens(out, active)
+                        first_t, embed = self._chunk_finish(
+                            self.params, last)
+                        pre = {"first": first_t[0], "embed": embed,
+                               "cache": cache_row, "valid": valid}
+                    else:
+                        pre = self._slot_prefill(
+                            self.params, jnp.asarray(ids),
+                            jnp.asarray(img), jnp.asarray(mask))
                     state, slot_valid = self._slot_insert(
                         state, jnp.asarray(slot), pre["first"],
                         pre["embed"], pre["cache"], pre["valid"],
@@ -220,15 +261,7 @@ class ChatService:
                 if active:
                     out = self._slot_step(self.params, state, slot_valid)
                     state = out["state"]
-                    toks = np.asarray(out["token"])
-                    fins = np.asarray(out["finished"])
-                    for slot in list(active):
-                        r, stream = active[slot]
-                        stream.append(int(toks[slot]))
-                        if fins[slot] or len(stream) >= self.max_new_tokens:
-                            r.tokens = np.asarray(stream, np.int32)
-                            r.event.set()
-                            del active[slot]
+                    self._dispatch_tokens(out, active)
             except BaseException as e:              # noqa: BLE001
                 for r, _ in active.values():
                     r.error = e
@@ -239,6 +272,18 @@ class ChatService:
                 active.clear()
                 backlog.clear()
                 state, slot_valid = self._slot_init()
+
+    def _dispatch_tokens(self, out, active):
+        """Hand each live slot its new token; finish on EOS/length."""
+        toks = np.asarray(out["token"])
+        fins = np.asarray(out["finished"])
+        for slot in list(active):
+            r, stream = active[slot]
+            stream.append(int(toks[slot]))
+            if fins[slot] or len(stream) >= self.max_new_tokens:
+                r.tokens = np.asarray(stream, np.int32)
+                r.event.set()
+                del active[slot]
 
     # ---- batching dispatcher (single thread owns the TPU) ----
 

@@ -263,3 +263,65 @@ def build_slot_fns(
     return (init_state, jax.jit(prefill),
             jax.jit(insert, donate_argnums=(0, 6)),
             jax.jit(step, donate_argnums=(1,)))
+
+
+def build_chunked_prefill_fns(
+    model: VisionLLM,
+    tid: SpecialTokenIds,
+    *,
+    chunk: int,
+    max_len: int = 4096,
+):
+    """Chunked prefill for continuous batching: a long prompt is run
+    through the LLM in fixed `chunk`-token windows so the scheduler can
+    interleave decode steps for the LIVE slots between windows —
+    bounding the decode stall a new admission causes to ~one chunk's
+    latency instead of the full prompt's (the Sarathi/vLLM
+    chunked-prefill idea, static-shaped for XLA).
+
+    The window forward is the same cached "extend" path speculative
+    decoding uses (`VisionLLM.llm_window` — queries attend history +
+    the causal part of the window), which for an initially empty cache
+    is exactly prefill attention, so chunked == monolithic numerically
+    (tests/test_slots.py::test_chunked_prefill_*).
+
+    Returns (embed_prompt, prefill_chunk, finish):
+      * embed_prompt(params, ids [1, Lp], images, regions) — the
+        multimodal embedding assembly (vision encode + scatters),
+        Lp a multiple of `chunk`;
+      * prefill_chunk(params, emb_chunk [1, chunk, C], cache_row,
+        valid_row) -> (cache_row, last_logits) — one LLM window;
+      * finish(params, last_logits) -> (first_token [1], embed
+        [1,1,C]) — the sampled first token and its decode input.
+    """
+    cfg = model.cfg
+    cache_dtype = (jnp.int8 if cfg.llm.kv_quant == "int8"
+                   else model.dtype)
+
+    def new_row_cache() -> KVCache:
+        return KVCache.create(cfg.llm, 1, max_len, dtype=cache_dtype)
+
+    def embed_prompt(params, input_ids, images,
+                     regions: Optional[jnp.ndarray] = None):
+        emb, _, _ = model.apply(
+            {"params": params}, input_ids, images, tid, regions,
+            method=VisionLLM.build_prompt_embeds)
+        return emb
+
+    def prefill_chunk(params, emb_chunk, cache_row: KVCache,
+                      valid_row: jnp.ndarray):
+        pos = (cache_row.index
+               + jnp.arange(emb_chunk.shape[1]))[None].astype(jnp.int32)
+        out = model.apply({"params": params}, emb_chunk, pos, cache_row,
+                          valid_row[None], method=VisionLLM.llm_window)
+        return out["cache"], out["logits"][:, -1]
+
+    def finish(params, last_logits):
+        first = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
+        embed = model.apply({"params": params}, first[:, None],
+                            method=VisionLLM.embed_tokens)
+        return first, embed
+
+    return (new_row_cache, jax.jit(embed_prompt),
+            jax.jit(prefill_chunk, donate_argnums=(2,)),
+            jax.jit(finish))
