@@ -279,3 +279,22 @@ def test_chunked_prefill_interleaved_with_decode(setup):
             s1.append(int(toks[1]))
     np.testing.assert_array_equal(np.asarray(s0[:len(solo[0])]), solo[0])
     np.testing.assert_array_equal(np.asarray(s1[:len(solo[1])]), solo[1])
+
+
+@pytest.mark.slow
+def test_tp_sharded_slot_step_matches_unsharded(setup):
+    """Continuous batching under a {data, model} mesh — the serving
+    configuration for 7B on v5e-8. Params FSDP+TP sharded; XLA
+    propagates shardings through the vmapped per-slot step and emits
+    the collectives. Streams must match the unsharded slots run."""
+    from visionllm_tpu.parallel.mesh import build_mesh, shard_params
+
+    model, params, prompts, images, solo = setup
+    mesh = build_mesh(n_data=4, n_model=2)
+    with mesh:
+        sharded = jax.device_put(params, shard_params(params, mesh))
+        streams = _drive(model, sharded, prompts, images,
+                         arrivals=[0, 2, 4])
+    for i, (got, want) in enumerate(zip(streams, solo)):
+        np.testing.assert_array_equal(got[:len(want)], want,
+                                      err_msg=f"request {i}")
