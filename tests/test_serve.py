@@ -323,3 +323,54 @@ def test_chunked_prefill_service_matches_plain():
     for i, (w, r) in enumerate(zip(want, results)):
         assert r is not None, f"request {i} hung"
         assert r["text"] == w["text"], f"request {i} answer changed"
+
+
+def test_streaming_sse_matches_nonstream():
+    """"stream": true on a --slots server: SSE deltas concatenate to
+    the non-streaming answer; non-slots servers reject streaming."""
+    cfg = tiny_test_config(use_gdino=False, use_unipose=False,
+                           use_sd=False, use_ip2p=False,
+                           use_region_encoder=False)
+    tok = MockTokenizer()
+    svc = ChatService(cfg, None, tok,
+                      image_size=cfg.vis_encoder.image_size,
+                      max_new_tokens=8, max_prompt=128, slots=2,
+                      dtype=jnp.float32)
+    size = cfg.vis_encoder.image_size
+    img_len = (size // 14) ** 2
+    ids = jnp.asarray([[1] + [svc.tid.imp] * img_len + [5, 6]],
+                      jnp.int32)
+    svc.params = svc.core.init(
+        jax.random.PRNGKey(11), ids,
+        jnp.zeros((1, size, size, 3), jnp.float32), svc.tid)["params"]
+    srv = make_server(svc, port=0, model_name="tiny-sse")
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{port}"
+    try:
+        code, plain = _post(url + "/v1/generate",
+                            {"prompt": "stream this"})
+        assert code == 200
+
+        req = urllib.request.Request(
+            url + "/v1/generate",
+            json.dumps({"prompt": "stream this",
+                        "stream": True}).encode(),
+            headers={"Content-Type": "application/json"})
+        deltas = []
+        with urllib.request.urlopen(req, timeout=240) as r:
+            assert r.headers["Content-Type"] == "text/event-stream"
+            for line in r:
+                line = line.decode().strip()
+                if not line.startswith("data: "):
+                    continue
+                payload = line[len("data: "):]
+                if payload == "[DONE]":
+                    break
+                obj = json.loads(payload)
+                assert "error" not in obj, obj
+                deltas.append(obj["delta"])
+        assert len(deltas) >= 1
+        assert "".join(deltas).strip() == plain["text"]
+    finally:
+        srv.shutdown()

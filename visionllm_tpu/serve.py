@@ -49,7 +49,7 @@ from visionllm_tpu.constants import DEFAULT_TOKENS
 
 
 class _Request:
-    __slots__ = ("ids", "image", "event", "tokens", "error")
+    __slots__ = ("ids", "image", "event", "tokens", "error", "stream_q")
 
     def __init__(self, ids: np.ndarray, image: Optional[np.ndarray]):
         self.ids = ids
@@ -57,6 +57,8 @@ class _Request:
         self.event = threading.Event()
         self.tokens: Optional[np.ndarray] = None
         self.error: Optional[BaseException] = None
+        # streaming (slots mode): per-token queue, None = finished
+        self.stream_q: Optional["queue.Queue"] = None
 
 
 class ChatService:
@@ -180,6 +182,34 @@ class ChatService:
         return {"text": text.strip(), "num_tokens": int(len(tokens)),
                 "latency_s": round(latency, 4)}
 
+    def generate_stream(self, prompt: str,
+                        image: Optional[np.ndarray] = None):
+        """Incremental generation: yields text deltas as the slot
+        scheduler decodes (continuous-batching mode only — the other
+        modes run the whole decode inside one jitted call and have no
+        per-token host visibility)."""
+        if self.slots <= 0:
+            raise ValueError("streaming requires continuous batching "
+                             "(slots > 0)")
+        ids, img, _ = self._encode(prompt, image)
+        r = _Request(ids, img)
+        r.stream_q = queue.Queue()
+        self._queue.put(r)
+        sent = ""
+        toks: List[int] = []
+        while True:
+            item = r.stream_q.get()
+            if item is None:
+                break
+            toks.append(item)
+            text = self.tokenizer.decode(toks, skip_special_tokens=True)
+            delta = text[len(sent):]
+            if delta:
+                sent = text
+                yield delta
+        if r.error is not None:
+            raise r.error
+
     # ---- continuous-batching scheduler (slots.py engine) ----
 
     def _slot_loop(self):
@@ -253,8 +283,12 @@ class ChatService:
                         pre["embed"], pre["cache"], pre["valid"],
                         slot_valid)
                     first = int(pre["first"])
+                    if r.stream_q is not None:
+                        r.stream_q.put(first)
                     if first == self.eos_id or self.max_new_tokens <= 1:
                         r.tokens = np.asarray([first], np.int32)
+                        if r.stream_q is not None:
+                            r.stream_q.put(None)
                         r.event.set()
                     else:
                         active[slot] = (r, [first])
@@ -265,9 +299,13 @@ class ChatService:
             except BaseException as e:              # noqa: BLE001
                 for r, _ in active.values():
                     r.error = e
+                    if r.stream_q is not None:
+                        r.stream_q.put(None)
                     r.event.set()
                 for r in backlog:
                     r.error = e
+                    if r.stream_q is not None:
+                        r.stream_q.put(None)
                     r.event.set()
                 active.clear()
                 backlog.clear()
@@ -279,9 +317,14 @@ class ChatService:
         fins = np.asarray(out["finished"])
         for slot in list(active):
             r, stream = active[slot]
-            stream.append(int(toks[slot]))
+            tok = int(toks[slot])
+            stream.append(tok)
+            if r.stream_q is not None:
+                r.stream_q.put(tok)
             if fins[slot] or len(stream) >= self.max_new_tokens:
                 r.tokens = np.asarray(stream, np.int32)
+                if r.stream_q is not None:
+                    r.stream_q.put(None)
                 r.event.set()
                 del active[slot]
 
@@ -386,6 +429,29 @@ class _Handler(BaseHTTPRequestHandler):
                 raw = base64.b64decode(req["image_b64"])
                 shape = tuple(req["image_shape"])
                 image = np.frombuffer(raw, np.uint8).reshape(shape)
+            if req.get("stream"):
+                if self.service.slots <= 0:
+                    self._reply(400, {"error": "streaming requires a "
+                                      "--slots (continuous batching) "
+                                      "server"})
+                    return
+                # server-sent events: one data frame per text delta
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.end_headers()
+                try:
+                    for delta in self.service.generate_stream(prompt,
+                                                              image):
+                        frame = json.dumps({"delta": delta})
+                        self.wfile.write(
+                            f"data: {frame}\n\n".encode())
+                        self.wfile.flush()
+                except Exception as e:              # noqa: BLE001
+                    frame = json.dumps({"error": str(e)[:300]})
+                    self.wfile.write(f"data: {frame}\n\n".encode())
+                self.wfile.write(b"data: [DONE]\n\n")
+                return
             out = self.service.generate(
                 prompt, image, max_new_tokens=req.get("max_new_tokens"))
             self._reply(200, out)
