@@ -106,3 +106,23 @@ def test_generate_batched(gen_setup):
         np.testing.assert_array_equal(
             toks[b, 1:1 + CFG.num_embs],
             [TID.emb + i for i in range(CFG.num_embs)])
+
+
+def test_vqa_harness_batched_matches_bs1(gen_setup):
+    """run_vqa(batch_size=3): left-padded batched decode must produce
+    the same predictions as the row-by-row loop (incl. a ragged final
+    batch with dead rows)."""
+    model, params, _, _ = gen_setup
+    tok = MockTokenizer()
+    gen = build_generate_fn(model, TID, max_new_tokens=6, max_len=160)
+    rng = np.random.RandomState(3)
+    qs = [{"image": rng.randint(0, 255, (32 + 4 * i, 40, 3), np.uint8),
+           "question": f"what is object number {i}?",
+           "answer": "thing"} for i in range(5)]
+    solo = run_vqa(gen, params, tok, qs,
+                   image_size=CFG.vis_encoder.image_size)
+    batched = run_vqa(gen, params, tok, qs,
+                      image_size=CFG.vis_encoder.image_size,
+                      batch_size=3)
+    assert [r["prediction"] for r in batched] == \
+        [r["prediction"] for r in solo]

@@ -202,6 +202,10 @@ def main(argv=None):
     vqa.add_argument("--limit", type=int, default=None)
     vqa.add_argument("--tiny", action="store_true")
     vqa.add_argument("--max-new-tokens", type=int, default=None)
+    vqa.add_argument("--gen-batch", type=int, default=1,
+                     help="vectorize the benchmark decode: B prompts "
+                          "left-padded into one compiled generate "
+                          "(token-identical to bs=1, ~B× throughput)")
     vqa.add_argument("--quant", default="", choices=["", "int8", "int4"])
     vqa.add_argument("--kv-quant", default="", choices=["", "int8"])
     sv = subs.add_parser(
@@ -336,7 +340,8 @@ def main(argv=None):
         gen, cparams = _build_core_generate(cfg, params, tid, args.tiny,
                                             max_new, tok)
         res = R.run_benchmark(bench, gen, cparams, tok, rows,
-                              image_size=cfg.vis_encoder.image_size)
+                              image_size=cfg.vis_encoder.image_size,
+                              batch_size=args.gen_batch)
         print(json.dumps(res))
     elif args.cmd == "eval-region":
         from visionllm_tpu.eval import region_eval as RE

@@ -341,13 +341,15 @@ def run_benchmark(
     *,
     image_size: int = 336,
     conv_version: str = "vicuna_v1",
+    batch_size: int = 1,
 ) -> Dict[str, float]:
     """rows from a load_* function (image paths still unmaterialized);
     returns the benchmark's metric dict. Predictions land in
-    rows[i]["prediction"] for inspection."""
+    rows[i]["prediction"] for inspection. ``batch_size > 1`` rides the
+    exact left-padded batched decode (run_vqa)."""
     rows = _materialize_images(rows)
     single_word = benchmark in VQA_SUITES or benchmark in ("mme", "pope")
     preds = run_vqa(generate_fn, params, tokenizer, rows,
                     image_size=image_size, conv_version=conv_version,
-                    single_word=single_word)
+                    single_word=single_word, batch_size=batch_size)
     return score_rows(benchmark, preds)

@@ -48,29 +48,75 @@ def run_vqa(
     image_size: int = 336,
     conv_version: str = "vicuna_v1",
     single_word: bool = True,
+    batch_size: int = 1,
 ) -> List[Dict]:
-    """Greedy-decode each question; returns rows with predicted text."""
+    """Greedy-decode each question; returns rows with predicted text.
+
+    ``batch_size > 1`` vectorizes the decode: prompts are LEFT-padded
+    to one compiled length under an attention mask and images ride
+    per-sample ``[B, 1, S, S, 3]`` tile stacks, so batched answers are
+    token-identical to bs=1 (tests/test_generation_batched.py) at ~B×
+    the decode throughput (decode is HBM-bound on the weights). The
+    reference pins generation to bs=1 (evaluate_vqa.py:531)."""
     import jax.numpy as jnp
     img_len = (image_size // 14) ** 2
     imp_id = tokenizer.convert_tokens_to_ids(DEFAULT_TOKENS["imp"])
     conv = get_conv_template(conv_version)
     stop_strs = [conv.sep2 or conv.sep]
+    eos_id = getattr(tokenizer, "eos_token_id", None) or 2
 
-    rows = []
-    for q in questions:
-        prompt = build_vqa_prompt(q["question"], conv_version, single_word)
-        ids = prompt_to_ids(prompt, tokenizer, img_len, imp_id)
-        image = clip_preprocess(q["image"], image_size, "pad")[None]
-        out = generate_fn(params, jnp.asarray(ids)[None],
-                          jnp.asarray(image, jnp.float32))
-        n = int(out["num_generated"])
-        tokens = np.asarray(out["out_tokens"][0, :n])
+    def finish(q, tokens):
         text = tokenizer.decode(tokens, skip_special_tokens=True)
         cut = find_stop(text, stop_strs)
         if cut is not None:
             text = text[:cut]
-        rows.append({**{k: v for k, v in q.items() if k != "image"},
-                     "prediction": text.strip()})
+        return {**{k: v for k, v in q.items() if k != "image"},
+                "prediction": text.strip()}
+
+    rows = []
+    if batch_size <= 1:
+        for q in questions:
+            prompt = build_vqa_prompt(q["question"], conv_version,
+                                      single_word)
+            ids = prompt_to_ids(prompt, tokenizer, img_len, imp_id)
+            image = clip_preprocess(q["image"], image_size, "pad")[None]
+            out = generate_fn(params, jnp.asarray(ids)[None],
+                              jnp.asarray(image, jnp.float32))
+            n = int(out["num_generated"])
+            rows.append(finish(q, np.asarray(out["out_tokens"][0, :n])))
+        return rows
+
+    encoded = []
+    for q in questions:
+        prompt = build_vqa_prompt(q["question"], conv_version,
+                                  single_word)
+        encoded.append(prompt_to_ids(prompt, tokenizer, img_len, imp_id))
+    L = max(len(e) for e in encoded)
+    B = batch_size
+    for start in range(0, len(questions), B):
+        group = list(range(start, min(start + B, len(questions))))
+        ids = np.zeros((B, L), np.int32)
+        mask = np.zeros((B, L), bool)
+        imgs = np.zeros((B, 1, image_size, image_size, 3), np.float32)
+        live = np.zeros((B,), bool)
+        for j, qi in enumerate(group):
+            e = encoded[qi]
+            ids[j, L - len(e):] = e
+            mask[j, L - len(e):] = True
+            imgs[j, 0] = clip_preprocess(questions[qi]["image"],
+                                         image_size, "pad")
+            live[j] = True
+        out = generate_fn(params, jnp.asarray(ids), jnp.asarray(imgs),
+                          attn_mask=jnp.asarray(mask),
+                          live=jnp.asarray(live))
+        n = int(out["num_generated"])
+        toks = np.asarray(out["out_tokens"][:, :n])
+        for j, qi in enumerate(group):
+            row = toks[j]
+            ends = np.nonzero(row == eos_id)[0]
+            if ends.size:
+                row = row[:ends[0] + 1]
+            rows.append(finish(questions[qi], row))
     return rows
 
 
