@@ -374,3 +374,31 @@ def test_streaming_sse_matches_nonstream():
         assert "".join(deltas).strip() == plain["text"]
     finally:
         srv.shutdown()
+
+
+def test_multiturn_history(server):
+    """history turns render through the conversation template: the
+    answer to a follow-up must equal a fresh request whose prompt was
+    built with the same history (determinism), and malformed history
+    is a 400."""
+    first = _post(server + "/v1/generate", {"prompt": "hello there"})
+    assert first[0] == 200
+    follow = {"prompt": "and a follow up",
+              "history": ["hello there", first[1]["text"]]}
+    a = _post(server + "/v1/generate", follow)
+    b = _post(server + "/v1/generate", follow)
+    assert a[0] == 200 and b[0] == 200
+    assert a[1]["text"] == b[1]["text"]
+    # dict form equals list form
+    c = _post(server + "/v1/generate", {
+        "prompt": "and a follow up",
+        "history": [{"role": "user", "content": "hello there"},
+                    {"role": "assistant", "content": first[1]["text"]}]})
+    assert c[0] == 200 and c[1]["text"] == a[1]["text"]
+
+    code, body = _post(server + "/v1/generate", {
+        "prompt": "x", "history": [{"role": "assistant", "content": "y"}]})
+    assert code == 400 and "alternate" in body["error"]
+    code, body = _post(server + "/v1/generate", {
+        "prompt": "x", "history": ["only a user turn"]})
+    assert code == 400

@@ -140,15 +140,38 @@ class ChatService:
 
     # ---- request assembly (caller thread) ----
 
-    def _encode(self, prompt: str, image: Optional[np.ndarray]):
+    def _encode(self, prompt: str, image: Optional[np.ndarray],
+                history: Optional[List] = None):
+        """`history`: prior turns as [user_text, assistant_text, ...] or
+        [{"role": "user"|"assistant", "content": ...}, ...] — rendered
+        through the conversation template ahead of the new prompt
+        (reference chat format, conversation.py). The <image> marker
+        attaches to the FIRST user turn, matching the reference."""
         from visionllm_tpu.data.conversation import get_conv_template
         from visionllm_tpu.data.mm_utils import (clip_preprocess,
                                                  expand_image_tokens,
                                                  tokenizer_image_token)
 
-        q = prompt if image is None else "<image>\n" + prompt
         conv = get_conv_template(self.conv_version)
-        conv.append_message(conv.roles[0], q)
+        turns: List[str] = []
+        for i, h in enumerate(history or []):
+            if isinstance(h, dict):
+                want = ("user", "assistant")[i % 2]
+                if h.get("role", want) != want:
+                    raise ValueError(
+                        f"history must alternate user/assistant "
+                        f"starting with user; turn {i} is "
+                        f"{h.get('role')!r}")
+                turns.append(h["content"])
+            else:
+                turns.append(h)
+        if len(turns) % 2:
+            raise ValueError("history must end with an assistant turn")
+        turns.append(prompt)
+        if image is not None:
+            turns[0] = "<image>\n" + turns[0]
+        for i, text in enumerate(turns):
+            conv.append_message(conv.roles[i % 2], text)
         conv.append_message(conv.roles[1], None)
         ids = tokenizer_image_token(conv.get_prompt(), self.tokenizer)
         img = None
@@ -160,10 +183,11 @@ class ChatService:
         return np.asarray(ids, np.int32)[-self.max_prompt:], img, conv
 
     def generate(self, prompt: str, image: Optional[np.ndarray] = None,
-                 max_new_tokens: Optional[int] = None) -> dict:
+                 max_new_tokens: Optional[int] = None,
+                 history: Optional[List] = None) -> dict:
         from visionllm_tpu.data.mm_utils import find_stop
 
-        ids, img, conv = self._encode(prompt, image)
+        ids, img, conv = self._encode(prompt, image, history)
         req = _Request(ids, img)
         t0 = time.perf_counter()
         self._queue.put(req)
@@ -183,7 +207,8 @@ class ChatService:
                 "latency_s": round(latency, 4)}
 
     def generate_stream(self, prompt: str,
-                        image: Optional[np.ndarray] = None):
+                        image: Optional[np.ndarray] = None,
+                        history: Optional[List] = None):
         """Incremental generation: yields text deltas as the slot
         scheduler decodes (continuous-batching mode only — the other
         modes run the whole decode inside one jitted call and have no
@@ -191,7 +216,7 @@ class ChatService:
         if self.slots <= 0:
             raise ValueError("streaming requires continuous batching "
                              "(slots > 0)")
-        ids, img, _ = self._encode(prompt, image)
+        ids, img, _ = self._encode(prompt, image, history)
         r = _Request(ids, img)
         r.stream_q = queue.Queue()
         self._queue.put(r)
@@ -441,8 +466,8 @@ class _Handler(BaseHTTPRequestHandler):
                 self.send_header("Cache-Control", "no-cache")
                 self.end_headers()
                 try:
-                    for delta in self.service.generate_stream(prompt,
-                                                              image):
+                    for delta in self.service.generate_stream(
+                            prompt, image, req.get("history")):
                         frame = json.dumps({"delta": delta})
                         self.wfile.write(
                             f"data: {frame}\n\n".encode())
@@ -453,7 +478,8 @@ class _Handler(BaseHTTPRequestHandler):
                 self.wfile.write(b"data: [DONE]\n\n")
                 return
             out = self.service.generate(
-                prompt, image, max_new_tokens=req.get("max_new_tokens"))
+                prompt, image, max_new_tokens=req.get("max_new_tokens"),
+                history=req.get("history"))
             self._reply(200, out)
         except (KeyError, ValueError, TypeError) as e:
             self._reply(400, {"error": f"bad request: {e}"})
