@@ -674,80 +674,6 @@ def main():
                         result["decode_int4_skipped"] = (
                             f"left {left():.0f}s")
 
-                    # ---- long-context serving: int8 KV cache @4096 ----
-                    # at 4 k context the bf16 cache is 2.1 GB per token
-                    # of read traffic next to the 6.7 GB int8 weight
-                    # tree; int8 KV (per-token/head scales) halves it.
-                    # Measure int8-weights decode at CTX_LONG with bf16
-                    # vs int8 cache — same program shape, bigger buffer.
-                    CTX_LONG = 4096
-                    for kv_name, kv_dt, kv_cfgval in (
-                            ("bf16", jnp.bfloat16, ""),
-                            ("int8", jnp.int8, "int8")):
-                        if left() <= 60:
-                            result[f"decode_kv{kv_name}_ctx{CTX_LONG}"
-                                   "_skipped"] = f"left {left():.0f}s"
-                            continue
-                        lcfg = dataclasses.replace(
-                            qcfg, llm=dataclasses.replace(
-                                qcfg.llm, kv_quant=kv_cfgval))
-                        lcore = VisionLLM(lcfg, jnp.bfloat16)
-                        cacheL = KVCache.create(lcfg.llm, 1, CTX_LONG,
-                                                kv_dt)
-
-                        def ldecode_chain(n, cparams, cache, embed,
-                                          lcore=lcore):
-                            def step(cparams, cache, embed):
-                                B = embed.shape[0]
-                                pos = jnp.broadcast_to(
-                                    cache.index[None, None],
-                                    (B, 1)).astype(jnp.int32)
-                                out = lcore.apply(
-                                    {"params": cparams}, embed, pos,
-                                    cache, method=VisionLLM.llm_step)
-                                tok = jnp.argmax(
-                                    out["logits"][:, -1, :], axis=-1)
-                                nxt = lcore.apply(
-                                    {"params": cparams},
-                                    tok[:, None].astype(jnp.int32),
-                                    method=VisionLLM.embed_tokens)
-                                return out["cache"], \
-                                    nxt.astype(embed.dtype)
-
-                            def body(s):
-                                i, cache, embed = s
-                                cache, embed = step(cparams, cache,
-                                                    embed)
-                                return i + 1, cache, embed
-
-                            _, cache, embed = jax.lax.while_loop(
-                                lambda s: s[0] < n, body,
-                                (jnp.int32(0), cache, embed))
-                            return jnp.sum(embed).astype(jnp.float32)
-
-                        t = time.time()
-                        ldec = jax.jit(ldecode_chain).lower(
-                            jnp.int32(DECODE_LO), qparams, cacheL,
-                            embed0).compile()
-                        log(f"decode kv-{kv_name}@{CTX_LONG} compile "
-                            f"{time.time()-t:.1f}s")
-
-                        def run_ldec(n, ldec=ldec, cacheL=cacheL):
-                            t = time.perf_counter()
-                            _ = float(ldec(jnp.int32(n), qparams,
-                                           cacheL, embed0))
-                            return time.perf_counter() - t
-
-                        t_l = _slope(run_ldec, DECODE_LO, DECODE_HI,
-                                     f"decode-kv{kv_name}-{CTX_LONG}")
-                        key = f"decode_tok_s_int8_kv{kv_name}_ctx{CTX_LONG}"
-                        result[key] = round(1.0 / t_l, 2)
-                        log(f"decode int8 kv-{kv_name}@{CTX_LONG} "
-                            f"{t_l*1e3:.2f} ms/tok → {1/t_l:.1f} tok/s")
-                        for leaf in jax.tree.leaves(cacheL):
-                            leaf.delete()
-                        del ldec, cacheL
-
                     # ---- batched serving decode (aggregate tok/s) ----
                     # decode is HBM-bound on the weight tree, so B
                     # concurrent streams amortize the same bytes/step:
@@ -853,6 +779,80 @@ def main():
                         del sdec, cacheW
                     else:
                         result["spec_skipped"] = f"left {left():.0f}s"
+
+                    # ---- long-context serving: int8 KV cache @4096 ----
+                    # at 4 k context the bf16 cache is 2.1 GB per token
+                    # of read traffic next to the 6.7 GB int8 weight
+                    # tree; int8 KV (per-token/head scales) halves it.
+                    # Measure int8-weights decode at CTX_LONG with bf16
+                    # vs int8 cache — same program shape, bigger buffer.
+                    CTX_LONG = 4096
+                    for kv_name, kv_dt, kv_cfgval in (
+                            ("bf16", jnp.bfloat16, ""),
+                            ("int8", jnp.int8, "int8")):
+                        if left() <= 60:
+                            result[f"decode_kv{kv_name}_ctx{CTX_LONG}"
+                                   "_skipped"] = f"left {left():.0f}s"
+                            continue
+                        lcfg = dataclasses.replace(
+                            qcfg, llm=dataclasses.replace(
+                                qcfg.llm, kv_quant=kv_cfgval))
+                        lcore = VisionLLM(lcfg, jnp.bfloat16)
+                        cacheL = KVCache.create(lcfg.llm, 1, CTX_LONG,
+                                                kv_dt)
+
+                        def ldecode_chain(n, cparams, cache, embed,
+                                          lcore=lcore):
+                            def step(cparams, cache, embed):
+                                B = embed.shape[0]
+                                pos = jnp.broadcast_to(
+                                    cache.index[None, None],
+                                    (B, 1)).astype(jnp.int32)
+                                out = lcore.apply(
+                                    {"params": cparams}, embed, pos,
+                                    cache, method=VisionLLM.llm_step)
+                                tok = jnp.argmax(
+                                    out["logits"][:, -1, :], axis=-1)
+                                nxt = lcore.apply(
+                                    {"params": cparams},
+                                    tok[:, None].astype(jnp.int32),
+                                    method=VisionLLM.embed_tokens)
+                                return out["cache"], \
+                                    nxt.astype(embed.dtype)
+
+                            def body(s):
+                                i, cache, embed = s
+                                cache, embed = step(cparams, cache,
+                                                    embed)
+                                return i + 1, cache, embed
+
+                            _, cache, embed = jax.lax.while_loop(
+                                lambda s: s[0] < n, body,
+                                (jnp.int32(0), cache, embed))
+                            return jnp.sum(embed).astype(jnp.float32)
+
+                        t = time.time()
+                        ldec = jax.jit(ldecode_chain).lower(
+                            jnp.int32(DECODE_LO), qparams, cacheL,
+                            embed0).compile()
+                        log(f"decode kv-{kv_name}@{CTX_LONG} compile "
+                            f"{time.time()-t:.1f}s")
+
+                        def run_ldec(n, ldec=ldec, cacheL=cacheL):
+                            t = time.perf_counter()
+                            _ = float(ldec(jnp.int32(n), qparams,
+                                           cacheL, embed0))
+                            return time.perf_counter() - t
+
+                        t_l = _slope(run_ldec, DECODE_LO, DECODE_HI,
+                                     f"decode-kv{kv_name}-{CTX_LONG}")
+                        key = f"decode_tok_s_int8_kv{kv_name}_ctx{CTX_LONG}"
+                        result[key] = round(1.0 / t_l, 2)
+                        log(f"decode int8 kv-{kv_name}@{CTX_LONG} "
+                            f"{t_l*1e3:.2f} ms/tok → {1/t_l:.1f} tok/s")
+                        for leaf in jax.tree.leaves(cacheL):
+                            leaf.delete()
+                        del ldec, cacheL
                 else:
                     result["decode_int8_skipped"] = (
                         f"budget left {left():.0f}s")
