@@ -144,3 +144,32 @@ def test_int4_generation_tracks_bf16():
     # the bound asserts directional tracking, not production quality —
     # that claim rests on the w4g128 literature and real checkpoints
     assert cos > 0.9, cos
+
+
+def test_int4_weights_with_int8_kv_cache():
+    """--quant int4 --kv-quant int8 combined serving mode decodes."""
+    from visionllm_tpu.config import tiny_test_config
+    from visionllm_tpu.generation import build_generate_fn
+    from visionllm_tpu.models.visionllm import SpecialTokenIds, VisionLLM
+    from visionllm_tpu.ops.quant import quantize_serving_params
+
+    cfg = tiny_test_config()
+    tid = SpecialTokenIds.synthetic()
+    model = VisionLLM(cfg, dtype=jnp.float32)
+    img_len = cfg.vis_encoder.num_patches
+    ids = jnp.asarray([[1, 5, 6] + [tid.imp] * img_len + [7]], jnp.int32)
+    size = cfg.vis_encoder.image_size
+    images = jnp.zeros((1, size, size, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), ids, images, tid)["params"]
+    qparams = quantize_serving_params({"llm": params["llm"]}, bits=4)
+    qparams = dict(params, llm=qparams["llm"])
+
+    qcfg = dataclasses.replace(
+        cfg, llm=dataclasses.replace(cfg.llm, quant="int4",
+                                     kv_quant="int8"))
+    qmodel = VisionLLM(qcfg, dtype=jnp.float32)
+    gen = build_generate_fn(qmodel, tid, max_new_tokens=6, max_len=64)
+    out = gen(qparams, ids, images)
+    toks = np.asarray(out["out_tokens"][0])
+    assert 1 <= int(out["num_generated"]) <= 6
+    assert (toks >= 0).all() and (toks < cfg.llm.vocab_size).all()

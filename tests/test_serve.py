@@ -402,3 +402,40 @@ def test_multiturn_history(server):
     code, body = _post(server + "/v1/generate", {
         "prompt": "x", "history": ["only a user turn"]})
     assert code == 400
+
+
+def test_serve_with_real_subword_tokenizer():
+    """End-to-end serving on the REAL trained subword tokenizer fixture
+    (tests/fixtures/tiny_tokenizer) instead of the char-level mock:
+    prompt templating, <image> expansion, decode, and stop-string
+    trimming all cross real merge boundaries."""
+    import os
+    from transformers import PreTrainedTokenizerFast
+    from visionllm_tpu.constants import DEFAULT_TOKENS
+
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures",
+                           "tiny_tokenizer")
+    tok = PreTrainedTokenizerFast.from_pretrained(fixture)
+    tok.pad_token = tok.unk_token
+    tok.add_tokens(list(DEFAULT_TOKENS.values()), special_tokens=True)
+
+    cfg = tiny_test_config(use_gdino=False, use_unipose=False,
+                           use_sd=False, use_ip2p=False,
+                           use_region_encoder=False)
+    svc = ChatService(cfg, None, tok,
+                      image_size=cfg.vis_encoder.image_size,
+                      max_new_tokens=6, max_prompt=700, slots=2,
+                      dtype=jnp.float32)
+    size = cfg.vis_encoder.image_size
+    img_len = (size // 14) ** 2
+    ids = jnp.asarray([[1] + [svc.tid.imp] * img_len + [5, 6]],
+                      jnp.int32)
+    svc.params = svc.core.init(
+        jax.random.PRNGKey(21), ids,
+        jnp.zeros((1, size, size, 3), jnp.float32), svc.tid)["params"]
+    img = np.random.RandomState(8).randint(0, 255, (40, 56, 3), np.uint8)
+    out1 = svc.generate("what do you see in the picture", img)
+    out2 = svc.generate("what do you see in the picture", img)
+    assert isinstance(out1["text"], str)
+    assert out1["text"] == out2["text"]      # deterministic greedy
+    assert out1["num_tokens"] >= 1
