@@ -439,3 +439,13 @@ def test_serve_with_real_subword_tokenizer():
     assert isinstance(out1["text"], str)
     assert out1["text"] == out2["text"]      # deterministic greedy
     assert out1["num_tokens"] >= 1
+
+
+def test_metrics_endpoint(server):
+    _post(server + "/v1/generate", {"prompt": "count me"})
+    with urllib.request.urlopen(server + "/metrics", timeout=30) as r:
+        m = json.loads(r.read())
+    assert m["requests_total"] >= 1
+    assert m["tokens_generated_total"] >= 1
+    assert m["latency_avg_s"] > 0
+    assert m["mode"] == "batch1"

@@ -289,14 +289,22 @@ def build_speculative_generate_fn(
         total = _totals(kind)
 
         # ---- prompt-lookup draft: continuation of the most recent
-        # earlier occurrence of the current trailing 2-gram ----
+        # earlier occurrence of the trailing n-gram, longest first
+        # (3-gram match preferred over 2-gram — the standard
+        # prompt-lookup laddering; longer keys draft more accurately) --
         Tb = state.tokens[0]
+        tm3 = jnp.take(Tb, state.n_tok - 3)
         t0 = jnp.take(Tb, state.n_tok - 2)
         t1 = jnp.take(Tb, state.n_tok - 1)
         jarr = jnp.arange(buf)
-        cand = ((Tb == t0) & (jnp.roll(Tb, -1) == t1)
-                & (jarr + 1 < state.n_tok - 1))
-        jm = jnp.max(jnp.where(cand, jarr, -1))
+        r1 = jnp.roll(Tb, -1)
+        cand2 = ((Tb == t0) & (r1 == t1)
+                 & (jarr + 1 < state.n_tok - 1))
+        cand3 = (cand2 & (jnp.roll(Tb, 1) == tm3)
+                 & (jarr >= 1) & (state.n_tok >= 3))
+        jm3 = jnp.max(jnp.where(cand3, jarr, -1))
+        jm2 = jnp.max(jnp.where(cand2, jarr, -1))
+        jm = jnp.where(jm3 >= 0, jm3, jm2)
         start = jnp.clip(jm + 2, 0, buf - K)
         drafts = jax.lax.dynamic_slice(Tb, (start,), (K,))      # [K]
         drafts = jnp.where(jm >= 0, drafts, 0)

@@ -134,9 +134,31 @@ class ChatService:
                 eos_id=self.eos_id,
                 max_len=max_prompt + max_new_tokens + 8)
             loop = self._dispatch_loop
+        # serving counters (GET /metrics); ints/floats mutated under the
+        # GIL from the dispatcher + request threads — reads are
+        # monotonic-ish snapshots, which is all a scrape needs
+        self.stats = {"requests_total": 0, "tokens_generated_total": 0,
+                      "latency_sum_s": 0.0, "errors_total": 0,
+                      "scheduler_ticks": 0, "occupied_slot_ticks": 0}
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._dispatcher = threading.Thread(target=loop, daemon=True)
         self._dispatcher.start()
+
+    def metrics(self) -> dict:
+        s = dict(self.stats)
+        n = max(s["requests_total"], 1)
+        s["latency_avg_s"] = round(s.pop("latency_sum_s") / n, 4)
+        if self.slots > 0:
+            t = max(s["scheduler_ticks"], 1)
+            s["slot_occupancy"] = round(
+                s["occupied_slot_ticks"] / (t * self.slots), 4)
+        else:
+            s.pop("scheduler_ticks")
+            s.pop("occupied_slot_ticks")
+        s["mode"] = ("slots" if self.slots > 0 else
+                     "speculative" if self.spec_k > 0 else
+                     f"batch{self.max_batch}")
+        return s
 
     # ---- request assembly (caller thread) ----
 
@@ -203,6 +225,9 @@ class ChatService:
         cut = find_stop(text, [stop])
         if cut is not None:
             text = text[:cut]
+        self.stats["requests_total"] += 1
+        self.stats["tokens_generated_total"] += int(len(tokens))
+        self.stats["latency_sum_s"] += latency
         return {"text": text.strip(), "num_tokens": int(len(tokens)),
                 "latency_s": round(latency, 4)}
 
@@ -232,6 +257,8 @@ class ChatService:
             if delta:
                 sent = text
                 yield delta
+        self.stats["requests_total"] += 1
+        self.stats["tokens_generated_total"] += len(toks)
         if r.error is not None:
             raise r.error
 
@@ -318,10 +345,13 @@ class ChatService:
                     else:
                         active[slot] = (r, [first])
                 if active:
+                    self.stats["scheduler_ticks"] += 1
+                    self.stats["occupied_slot_ticks"] += len(active)
                     out = self._slot_step(self.params, state, slot_valid)
                     state = out["state"]
                     self._dispatch_tokens(out, active)
             except BaseException as e:              # noqa: BLE001
+                self.stats["errors_total"] += len(active) + len(backlog)
                 for r, _ in active.values():
                     r.error = e
                     if r.stream_q is not None:
@@ -374,6 +404,7 @@ class ChatService:
                     r.tokens = t
                     r.event.set()
             except BaseException as e:              # noqa: BLE001
+                self.stats["errors_total"] += len(batch)
                 for r in batch:
                     r.error = e
                     r.event.set()
@@ -438,6 +469,8 @@ class _Handler(BaseHTTPRequestHandler):
             import jax
             self._reply(200, {"ok": True, "model": self.model_name,
                               "devices": [str(d) for d in jax.devices()]})
+        elif self.path == "/metrics":
+            self._reply(200, self.service.metrics())
         else:
             self._reply(404, {"error": "not found"})
 
