@@ -449,3 +449,36 @@ def test_metrics_endpoint(server):
     assert m["tokens_generated_total"] >= 1
     assert m["latency_avg_s"] > 0
     assert m["mode"] == "batch1"
+
+
+def test_sampling_service():
+    """--sampling server: temperature 0 equals the greedy service, a
+    fixed seed is deterministic, and a non-sampling server rejects
+    temperature > 0."""
+    cfg = tiny_test_config(use_gdino=False, use_unipose=False,
+                           use_sd=False, use_ip2p=False,
+                           use_region_encoder=False)
+    tok = MockTokenizer()
+    plain = ChatService(cfg, None, tok,
+                        image_size=cfg.vis_encoder.image_size,
+                        max_new_tokens=8, max_prompt=128,
+                        dtype=jnp.float32)
+    size = cfg.vis_encoder.image_size
+    img_len = (size // 14) ** 2
+    ids = jnp.asarray([[1] + [plain.tid.imp] * img_len + [5, 6]],
+                      jnp.int32)
+    plain.params = plain.core.init(
+        jax.random.PRNGKey(13), ids,
+        jnp.zeros((1, size, size, 3), jnp.float32), plain.tid)["params"]
+    samp = ChatService(cfg, plain.params, tok,
+                       image_size=cfg.vis_encoder.image_size,
+                       max_new_tokens=8, max_prompt=128, sampling=True,
+                       dtype=jnp.float32)
+    g = plain.generate("the same question")
+    s0 = samp.generate("the same question", temperature=0.0)
+    assert s0["text"] == g["text"]
+    a = samp.generate("the same question", temperature=1.5, seed=7)
+    b = samp.generate("the same question", temperature=1.5, seed=7)
+    assert a["text"] == b["text"]
+    with pytest.raises(ValueError, match="sampling"):
+        plain.generate("x", temperature=0.9)

@@ -233,6 +233,10 @@ def main(argv=None):
                          "chunks, interleaving decode steps so a long "
                          "prompt stalls live streams by one chunk, not "
                          "the whole prefill")
+    sv.add_argument("--sampling", action="store_true",
+                    help="compile the temperature/top-p sampling path; "
+                         "requests may then pass temperature/top_p/seed "
+                         "(temperature 0 stays greedy)")
     sv.add_argument("--spec-k", type=int, default=0,
                     help="speculative decoding draft length (latency "
                          "mode, B=1 only; exact greedy — prompt-lookup "
@@ -378,6 +382,7 @@ def main(argv=None):
             max_prompt=args.max_prompt, max_batch=args.max_batch,
             batch_window_ms=args.batch_window_ms, spec_k=args.spec_k,
             slots=args.slots, prefill_chunk=args.prefill_chunk,
+            sampling=args.sampling,
             dtype=jnp.float32 if args.tiny else jnp.bfloat16)
         if params is not None:
             svc.params = params["core"] if "core" in params else params

@@ -41,6 +41,38 @@ class DecodeState:
     emb_countdown: jnp.ndarray   # [B] forced [EMB] rows still to feed
     emb_kind: jnp.ndarray        # [B] TOOL_* of the live countdown
     done: jnp.ndarray            # [B] bool
+    rng: Optional[jnp.ndarray] = None   # PRNG key (sampling mode only)
+
+
+def sample_token(logits: jnp.ndarray, key, temperature: jnp.ndarray,
+                 top_p: jnp.ndarray) -> jnp.ndarray:
+    """Per-row temperature / nucleus sampling over [B, V] logits.
+
+    ``temperature[b] <= 0`` means greedy for that row (so a mixed batch
+    can carry greedy and sampled requests side by side). Nucleus
+    filtering keeps the smallest prefix of the descending-probability
+    distribution whose mass reaches ``top_p[b]`` (the first token is
+    always kept); the [B, V] sort runs under a ``lax.cond`` so pure
+    temperature sampling never pays for it. The reference generates
+    greedily everywhere (evaluate_vqa.py) — sampling is a serving
+    extension."""
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    scaled = logits / jnp.maximum(temperature, 1e-6)[:, None]
+
+    def nucleus(s):
+        order = jnp.argsort(-s, axis=-1)
+        s_sorted = jnp.take_along_axis(s, order, -1)
+        probs = jax.nn.softmax(s_sorted, axis=-1)
+        csum = jnp.cumsum(probs, axis=-1)
+        keep = (csum - probs) < top_p[:, None]
+        s_sorted = jnp.where(keep, s_sorted, -jnp.inf)
+        inv = jnp.argsort(order, axis=-1)
+        return jnp.take_along_axis(s_sorted, inv, -1)
+
+    scaled = jax.lax.cond(jnp.any(top_p < 1.0), nucleus,
+                          lambda s: s, scaled)
+    drawn = jax.random.categorical(key, scaled).astype(jnp.int32)
+    return jnp.where(temperature <= 0.0, greedy, drawn)
 
 
 def _tool_kind(token: jnp.ndarray, tid: SpecialTokenIds) -> jnp.ndarray:
@@ -61,25 +93,40 @@ def build_generate_fn(
     max_new_tokens: int = 256,
     eos_id: int = 2,
     max_len: int = 4096,
+    sampling: bool = False,
 ):
     """Returns a jitted `generate(params, input_ids, images)` closure.
 
     input_ids: [1, L_prompt] (right-aligned, no padding — reference
     enforces bs=1 for generation too). Returns dict with out_tokens
     [1, max_new_tokens], out_hidden [1, max_new, C], num_generated.
+
+    ``sampling=True`` compiles the temperature/top-p path: `generate`
+    then also takes `rng` (PRNG key), `temperature` [B] and `top_p` [B]
+    (per-row; temperature 0 = greedy for that row). The default greedy
+    program is unchanged.
     """
     cfg = model.cfg
     num_embs, num_embs_gen = cfg.num_embs, cfg.num_embs_gen
 
     def step_fn(params, state: DecodeState,
-                decode_mask: Optional[jnp.ndarray] = None) -> DecodeState:
+                decode_mask: Optional[jnp.ndarray] = None,
+                sample_args=None) -> DecodeState:
         B = state.cur_embed.shape[0]
         pos = jnp.broadcast_to(state.cache.index[None, None], (B, 1))
         out = model.apply(
             {"params": params}, state.cur_embed, pos.astype(jnp.int32),
             state.cache, decode_mask, method=VisionLLM.llm_step)
         logits, hidden, cache = out["logits"], out["hidden"], out["cache"]
-        sampled = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        new_rng = state.rng
+        if sample_args is not None:
+            temperature, top_p = sample_args
+            new_rng, sub = jax.random.split(state.rng)
+            sampled = sample_token(logits[:, -1, :], sub, temperature,
+                                   top_p)
+        else:
+            sampled = jnp.argmax(logits[:, -1, :], axis=-1
+                                 ).astype(jnp.int32)
 
         forcing = state.emb_countdown > 0
         total = jnp.where(state.emb_kind >= C.TOOL_GEN, num_embs_gen,
@@ -137,7 +184,8 @@ def build_generate_fn(
         return DecodeState(
             cache=cache, cur_embed=next_embed, out_tokens=out_tokens,
             out_hidden=out_hidden, step=state.step + 1,
-            emb_countdown=countdown, emb_kind=kind, done=done)
+            emb_countdown=countdown, emb_kind=kind, done=done,
+            rng=new_rng)
 
     def generate(params, input_ids: jnp.ndarray,
                  images: Optional[jnp.ndarray],
@@ -145,6 +193,9 @@ def build_generate_fn(
                  regions: Optional[jnp.ndarray] = None,
                  attn_mask: Optional[jnp.ndarray] = None,
                  live: Optional[jnp.ndarray] = None,
+                 rng: Optional[jnp.ndarray] = None,
+                 temperature: Optional[jnp.ndarray] = None,
+                 top_p: Optional[jnp.ndarray] = None,
                  ) -> Dict[str, Any]:
         """`first_token` [B] optionally overrides the first sampled token
         (teacher-forcing a tool trigger, e.g. [GEN] for generation eval).
@@ -171,7 +222,25 @@ def build_generate_fn(
         out = model.apply({"params": params}, input_ids, images, tid,
                           attn_mask=attn_mask, cache=cache, regions=regions)
         logits, cache = out["logits"], out["cache"]
-        first = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        sample_args = None
+        rng0 = None
+        if sampling:
+            rng0 = rng if rng is not None else jax.random.PRNGKey(0)
+            temperature = (jnp.zeros((B,), jnp.float32)
+                           if temperature is None
+                           else jnp.broadcast_to(
+                               jnp.asarray(temperature, jnp.float32),
+                               (B,)))
+            top_p = (jnp.ones((B,), jnp.float32) if top_p is None
+                     else jnp.broadcast_to(
+                         jnp.asarray(top_p, jnp.float32), (B,)))
+            sample_args = (temperature, top_p)
+            rng0, sub0 = jax.random.split(rng0)
+            first = sample_token(logits[:, -1, :], sub0, temperature,
+                                 top_p)
+        else:
+            first = jnp.argmax(logits[:, -1, :], axis=-1
+                               ).astype(jnp.int32)
         if first_token is not None:
             first = jnp.broadcast_to(
                 jnp.asarray(first_token, jnp.int32), first.shape)
@@ -204,13 +273,16 @@ def build_generate_fn(
             emb_countdown=jnp.where(kind0 > 0, total0, 0),
             emb_kind=kind0,
             done=done0,
+            rng=rng0,
         )
 
         def cond(s: DecodeState):
             return (s.step < max_new_tokens) & ~jnp.all(s.done)
 
         state = jax.lax.while_loop(
-            cond, lambda s: step_fn(params, s, decode_mask), state)
+            cond,
+            lambda s: step_fn(params, s, decode_mask, sample_args),
+            state)
         return {"out_tokens": state.out_tokens,
                 "out_hidden": state.out_hidden,
                 "num_generated": state.step,

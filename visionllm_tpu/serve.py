@@ -49,9 +49,12 @@ from visionllm_tpu.constants import DEFAULT_TOKENS
 
 
 class _Request:
-    __slots__ = ("ids", "image", "event", "tokens", "error", "stream_q")
+    __slots__ = ("ids", "image", "event", "tokens", "error", "stream_q",
+                 "temperature", "top_p", "seed")
 
-    def __init__(self, ids: np.ndarray, image: Optional[np.ndarray]):
+    def __init__(self, ids: np.ndarray, image: Optional[np.ndarray],
+                 temperature: float = 0.0, top_p: float = 1.0,
+                 seed: Optional[int] = None):
         self.ids = ids
         self.image = image           # preprocessed [S, S, 3] or None
         self.event = threading.Event()
@@ -59,6 +62,9 @@ class _Request:
         self.error: Optional[BaseException] = None
         # streaming (slots mode): per-token queue, None = finished
         self.stream_q: Optional["queue.Queue"] = None
+        self.temperature = temperature
+        self.top_p = top_p
+        self.seed = seed
 
 
 class ChatService:
@@ -70,7 +76,8 @@ class ChatService:
                  max_new_tokens: int = 256, max_prompt: int = 1024,
                  max_batch: int = 1, batch_window_ms: float = 4.0,
                  spec_k: int = 0, slots: int = 0,
-                 prefill_chunk: int = 0, dtype=None):
+                 prefill_chunk: int = 0, sampling: bool = False,
+                 dtype=None):
         import jax.numpy as jnp
 
         from visionllm_tpu.generation import (
@@ -87,6 +94,11 @@ class ChatService:
             raise ValueError(
                 "slots (continuous batching) replaces max_batch/spec_k "
                 "— pick one serving mode")
+        if sampling and (slots > 0 or spec_k > 0):
+            raise ValueError(
+                "sampling is available in the plain/micro-batch mode; "
+                "speculative decoding is greedy by construction and "
+                "the slot scheduler does not carry per-slot PRNG state")
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
@@ -132,8 +144,11 @@ class ChatService:
             self.generate_fn = build_generate_fn(
                 self.core, self.tid, max_new_tokens=max_new_tokens,
                 eos_id=self.eos_id,
-                max_len=max_prompt + max_new_tokens + 8)
+                max_len=max_prompt + max_new_tokens + 8,
+                sampling=sampling)
             loop = self._dispatch_loop
+        self.sampling = sampling
+        self._seed_counter = 0
         # serving counters (GET /metrics); ints/floats mutated under the
         # GIL from the dispatcher + request threads — reads are
         # monotonic-ish snapshots, which is all a scrape needs
@@ -206,11 +221,18 @@ class ChatService:
 
     def generate(self, prompt: str, image: Optional[np.ndarray] = None,
                  max_new_tokens: Optional[int] = None,
-                 history: Optional[List] = None) -> dict:
+                 history: Optional[List] = None,
+                 temperature: float = 0.0, top_p: float = 1.0,
+                 seed: Optional[int] = None) -> dict:
         from visionllm_tpu.data.mm_utils import find_stop
 
+        if temperature > 0 and not self.sampling:
+            raise ValueError("temperature > 0 requires a sampling "
+                             "server (ChatService(sampling=True) / "
+                             "serve --sampling)")
         ids, img, conv = self._encode(prompt, image, history)
-        req = _Request(ids, img)
+        req = _Request(ids, img, temperature=temperature, top_p=top_p,
+                       seed=seed)
         t0 = time.perf_counter()
         self._queue.put(req)
         req.event.wait()
@@ -434,6 +456,26 @@ class ChatService:
             out = self.generate_fn(self.params, jnp.asarray(ids),
                                    jnp.asarray(imgs),
                                    attn_mask=jnp.asarray(mask))
+        elif self.sampling:
+            import jax
+            # one key per generate call: per-request seed determinism
+            # holds at bs=1 (a shared key samples the whole batch)
+            seed = batch[0].seed
+            if seed is None:
+                self._seed_counter += 1
+                seed = self._seed_counter
+            temp = np.zeros((B,), np.float32)
+            topp = np.ones((B,), np.float32)
+            for b, r in enumerate(batch):
+                temp[b] = r.temperature
+                topp[b] = r.top_p
+            out = self.generate_fn(self.params, jnp.asarray(ids),
+                                   jnp.asarray(imgs),
+                                   attn_mask=jnp.asarray(mask),
+                                   live=jnp.asarray(live),
+                                   rng=jax.random.PRNGKey(seed),
+                                   temperature=jnp.asarray(temp),
+                                   top_p=jnp.asarray(topp))
         else:
             out = self.generate_fn(self.params, jnp.asarray(ids),
                                    jnp.asarray(imgs),
@@ -512,7 +554,10 @@ class _Handler(BaseHTTPRequestHandler):
                 return
             out = self.service.generate(
                 prompt, image, max_new_tokens=req.get("max_new_tokens"),
-                history=req.get("history"))
+                history=req.get("history"),
+                temperature=float(req.get("temperature", 0.0)),
+                top_p=float(req.get("top_p", 1.0)),
+                seed=req.get("seed"))
             self._reply(200, out)
         except (KeyError, ValueError, TypeError) as e:
             self._reply(400, {"error": f"bad request: {e}"})
