@@ -482,3 +482,14 @@ def test_sampling_service():
     assert a["text"] == b["text"]
     with pytest.raises(ValueError, match="sampling"):
         plain.generate("x", temperature=0.9)
+
+
+def test_logprobs_in_response(server):
+    code, body = _post(server + "/v1/generate",
+                       {"prompt": "score this", "logprobs": True})
+    assert code == 200, body
+    lps = body["logprobs"]
+    assert len(lps) == body["num_tokens"]
+    assert all(isinstance(x, float) and x <= 0.0 for x in lps)
+    code2, body2 = _post(server + "/v1/generate", {"prompt": "score this"})
+    assert code2 == 200 and "logprobs" not in body2

@@ -53,6 +53,10 @@ def _assert_same(out_ref, out_spec):
     hr = np.asarray(out_ref["out_hidden"][0, :max(n - 1, 0)])
     hs = np.asarray(out_spec["out_hidden"][0, :max(n - 1, 0)])
     np.testing.assert_allclose(hs, hr, atol=2e-5, rtol=2e-5)
+    # per-token logprobs (serving "logprobs": true) must agree too
+    lr = np.asarray(out_ref["out_logprobs"][0, :n])
+    ls = np.asarray(out_spec["out_logprobs"][0, :n])
+    np.testing.assert_allclose(ls, lr, atol=2e-5, rtol=2e-5)
 
 
 @pytest.mark.parametrize("k_draft", [1, 3, 7])

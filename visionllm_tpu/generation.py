@@ -41,7 +41,15 @@ class DecodeState:
     emb_countdown: jnp.ndarray   # [B] forced [EMB] rows still to feed
     emb_kind: jnp.ndarray        # [B] TOOL_* of the live countdown
     done: jnp.ndarray            # [B] bool
+    out_logprobs: jnp.ndarray = None  # [B, max_new] f32 logp of each token
     rng: Optional[jnp.ndarray] = None   # PRNG key (sampling mode only)
+
+
+def _token_logprob(logits: jnp.ndarray, token: jnp.ndarray
+                   ) -> jnp.ndarray:
+    """log softmax of `logits` [B, V] at `token` [B] → [B] f32."""
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.take_along_axis(lp, token[:, None], axis=-1)[:, 0]
 
 
 def sample_token(logits: jnp.ndarray, key, temperature: jnp.ndarray,
@@ -171,6 +179,10 @@ def build_generate_fn(
         rec_token = jnp.where(state.done, 0, next_token)
         out_tokens = jax.lax.dynamic_update_slice(
             state.out_tokens, rec_token[:, None], (0, state.step))
+        rec_lp = jnp.where(state.done, 0.0,
+                           _token_logprob(logits[:, -1, :], next_token))
+        out_logprobs = jax.lax.dynamic_update_slice(
+            state.out_logprobs, rec_lp[:, None], (0, state.step))
         # `hidden` is the LLM output FOR the embedding fed this step,
         # i.e. for out_tokens[step-1] — align the buffers so
         # out_hidden[i] is the hidden state AT token i, matching the
@@ -185,7 +197,7 @@ def build_generate_fn(
             cache=cache, cur_embed=next_embed, out_tokens=out_tokens,
             out_hidden=out_hidden, step=state.step + 1,
             emb_countdown=countdown, emb_kind=kind, done=done,
-            rng=new_rng)
+            out_logprobs=out_logprobs, rng=new_rng)
 
     def generate(params, input_ids: jnp.ndarray,
                  images: Optional[jnp.ndarray],
@@ -261,6 +273,7 @@ def build_generate_fn(
         done0 = first == eos_id
         if live is not None:
             done0 = done0 | ~live.astype(bool)
+        first_lp = _token_logprob(logits[:, -1, :], first)
         state = DecodeState(
             cache=cache,
             cur_embed=first_embed,
@@ -273,6 +286,8 @@ def build_generate_fn(
             emb_countdown=jnp.where(kind0 > 0, total0, 0),
             emb_kind=kind0,
             done=done0,
+            out_logprobs=jnp.zeros((B, max_new_tokens), jnp.float32
+                                   ).at[:, 0].set(first_lp),
             rng=rng0,
         )
 
@@ -285,6 +300,7 @@ def build_generate_fn(
             state)
         return {"out_tokens": state.out_tokens,
                 "out_hidden": state.out_hidden,
+                "out_logprobs": state.out_logprobs,
                 "num_generated": state.step,
                 "cache": state.cache}
 
@@ -302,6 +318,7 @@ class SpecDecodeState:
     emb_countdown: jnp.ndarray  # scalar int32
     emb_kind: jnp.ndarray       # scalar int32
     done: jnp.ndarray           # scalar bool
+    out_logprobs: jnp.ndarray = None  # [1, out_buf] f32
 
 
 def build_speculative_generate_fn(
@@ -462,6 +479,13 @@ def build_speculative_generate_fn(
         tok_new = jnp.where(keep, t, tok_old[0])[None]
         tokens = jax.lax.dynamic_update_slice(
             state.tokens, tok_new, (0, state.n_tok))
+        # logits[i] scored the token emitted at out position step+i
+        lp_w = _token_logprob(logits[0], t)                     # [W]
+        lp_old = jax.lax.dynamic_slice(
+            state.out_logprobs, (0, state.step), (1, W))
+        lp_new = jnp.where(keep, lp_w, lp_old[0])[None]
+        out_logprobs = jax.lax.dynamic_update_slice(
+            state.out_logprobs, lp_new, (0, state.step))
         # hidden[i] is the LLM output for input e_i = the token at out
         # position step-1+i (same alignment as the step-by-step loop)
         h_old = jax.lax.dynamic_slice(
@@ -481,6 +505,7 @@ def build_speculative_generate_fn(
             emb_countdown=c_new,
             emb_kind=kind_new,
             done=state.done | (t_last == eos_id),
+            out_logprobs=out_logprobs,
         )
 
     def generate(params, input_ids: jnp.ndarray,
@@ -530,6 +555,9 @@ def build_speculative_generate_fn(
             emb_countdown=jnp.where(kind0 > 0, _totals(kind0), 0),
             emb_kind=kind0,
             done=first[0] == eos_id,
+            out_logprobs=jnp.zeros((1, out_buf), jnp.float32
+                                   ).at[:, 0].set(
+                _token_logprob(logits[:, -1, :], first)),
         )
 
         def cond(s: SpecDecodeState):
@@ -550,6 +578,8 @@ def build_speculative_generate_fn(
         valid = jnp.arange(max_new_tokens)[None] < n
         return {"out_tokens": jnp.where(valid, out_tokens, 0),
                 "out_hidden": state.out_hidden[:, :max_new_tokens],
+                "out_logprobs": jnp.where(
+                    valid, state.out_logprobs[:, :max_new_tokens], 0.0),
                 "num_generated": n,
                 "cache": state.cache}
 

@@ -50,7 +50,7 @@ from visionllm_tpu.constants import DEFAULT_TOKENS
 
 class _Request:
     __slots__ = ("ids", "image", "event", "tokens", "error", "stream_q",
-                 "temperature", "top_p", "seed")
+                 "temperature", "top_p", "seed", "logprobs")
 
     def __init__(self, ids: np.ndarray, image: Optional[np.ndarray],
                  temperature: float = 0.0, top_p: float = 1.0,
@@ -65,6 +65,7 @@ class _Request:
         self.temperature = temperature
         self.top_p = top_p
         self.seed = seed
+        self.logprobs: Optional[np.ndarray] = None
 
 
 class ChatService:
@@ -223,7 +224,8 @@ class ChatService:
                  max_new_tokens: Optional[int] = None,
                  history: Optional[List] = None,
                  temperature: float = 0.0, top_p: float = 1.0,
-                 seed: Optional[int] = None) -> dict:
+                 seed: Optional[int] = None,
+                 logprobs: bool = False) -> dict:
         from visionllm_tpu.data.mm_utils import find_stop
 
         if temperature > 0 and not self.sampling:
@@ -250,8 +252,16 @@ class ChatService:
         self.stats["requests_total"] += 1
         self.stats["tokens_generated_total"] += int(len(tokens))
         self.stats["latency_sum_s"] += latency
-        return {"text": text.strip(), "num_tokens": int(len(tokens)),
-                "latency_s": round(latency, 4)}
+        out = {"text": text.strip(), "num_tokens": int(len(tokens)),
+               "latency_s": round(latency, 4)}
+        if logprobs:
+            if req.logprobs is None:
+                raise ValueError("logprobs are recorded by the plain/"
+                                 "micro-batch and speculative decode "
+                                 "paths, not the slot scheduler")
+            lp = req.logprobs[:len(tokens)]
+            out["logprobs"] = [round(float(x), 5) for x in lp]
+        return out
 
     def generate_stream(self, prompt: str,
                         image: Optional[np.ndarray] = None,
@@ -421,9 +431,10 @@ class ChatService:
                     except queue.Empty:
                         break
             try:
-                toks = self._run(batch)
-                for r, t in zip(batch, toks):
+                outs = self._run(batch)
+                for r, (t, lp) in zip(batch, outs):
                     r.tokens = t
+                    r.logprobs = lp
                     r.event.set()
             except BaseException as e:              # noqa: BLE001
                 self.stats["errors_total"] += len(batch)
@@ -483,11 +494,14 @@ class ChatService:
                                    live=jnp.asarray(live))
         n_gen = int(out["num_generated"])
         toks = np.asarray(out["out_tokens"][:, :n_gen])
+        lps = np.asarray(out["out_logprobs"][:, :n_gen])
         results = []
         for b in range(len(batch)):
-            row = toks[b]
+            row, lp = toks[b], lps[b]
             ends = np.nonzero(row == self.eos_id)[0]
-            results.append(row[:ends[0] + 1] if ends.size else row)
+            if ends.size:
+                row, lp = row[:ends[0] + 1], lp[:ends[0] + 1]
+            results.append((row, lp))
         return results
 
 
@@ -557,7 +571,8 @@ class _Handler(BaseHTTPRequestHandler):
                 history=req.get("history"),
                 temperature=float(req.get("temperature", 0.0)),
                 top_p=float(req.get("top_p", 1.0)),
-                seed=req.get("seed"))
+                seed=req.get("seed"),
+                logprobs=bool(req.get("logprobs")))
             self._reply(200, out)
         except (KeyError, ValueError, TypeError) as e:
             self._reply(400, {"error": f"bad request: {e}"})
