@@ -493,3 +493,34 @@ def test_logprobs_in_response(server):
     assert all(isinstance(x, float) and x <= 0.0 for x in lps)
     code2, body2 = _post(server + "/v1/generate", {"prompt": "score this"})
     assert code2 == 200 and "logprobs" not in body2
+
+
+def test_slot_sampling_service():
+    """--slots --sampling: temperature-0 requests match the greedy
+    slot service; hot requests still answer; logprobs come back."""
+    cfg = tiny_test_config(use_gdino=False, use_unipose=False,
+                           use_sd=False, use_ip2p=False,
+                           use_region_encoder=False)
+    tok = MockTokenizer()
+    greedy = ChatService(cfg, None, tok,
+                         image_size=cfg.vis_encoder.image_size,
+                         max_new_tokens=8, max_prompt=128, slots=2,
+                         dtype=jnp.float32)
+    size = cfg.vis_encoder.image_size
+    img_len = (size // 14) ** 2
+    ids = jnp.asarray([[1] + [greedy.tid.imp] * img_len + [5, 6]],
+                      jnp.int32)
+    greedy.params = greedy.core.init(
+        jax.random.PRNGKey(17), ids,
+        jnp.zeros((1, size, size, 3), jnp.float32), greedy.tid)["params"]
+    samp = ChatService(cfg, greedy.params, tok,
+                       image_size=cfg.vis_encoder.image_size,
+                       max_new_tokens=8, max_prompt=128, slots=2,
+                       sampling=True, dtype=jnp.float32)
+    g = greedy.generate("slot question", logprobs=True)
+    s0 = samp.generate("slot question", temperature=0.0, logprobs=True)
+    assert s0["text"] == g["text"]
+    assert len(g["logprobs"]) == g["num_tokens"]
+    assert all(x <= 0.0 for x in g["logprobs"])
+    hot = samp.generate("slot question", temperature=2.0)
+    assert isinstance(hot["text"], str)

@@ -95,11 +95,15 @@ class ChatService:
             raise ValueError(
                 "slots (continuous batching) replaces max_batch/spec_k "
                 "— pick one serving mode")
-        if sampling and (slots > 0 or spec_k > 0):
+        if sampling and spec_k > 0:
             raise ValueError(
-                "sampling is available in the plain/micro-batch mode; "
-                "speculative decoding is greedy by construction and "
-                "the slot scheduler does not carry per-slot PRNG state")
+                "sampling and speculative decoding are mutually "
+                "exclusive: greedy acceptance is what makes the "
+                "speculative output exact")
+        if sampling and prefill_chunk > 0:
+            raise ValueError(
+                "sampling with chunked prefill is not wired yet: the "
+                "chunked finish samples the first token greedily")
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
@@ -128,7 +132,8 @@ class ChatService:
             (self._slot_init, self._slot_prefill, self._slot_insert,
              self._slot_step) = build_slot_fns(
                 self.core, self.tid, n_slots=slots,
-                max_len=slot_max_len, eos_id=self.eos_id)
+                max_len=slot_max_len, eos_id=self.eos_id,
+                sampling=sampling)
             if prefill_chunk > 0:
                 (self._chunk_row, self._chunk_embed, self._chunk_run,
                  self._chunk_finish) = build_chunked_prefill_fns(
@@ -255,10 +260,6 @@ class ChatService:
         out = {"text": text.strip(), "num_tokens": int(len(tokens)),
                "latency_s": round(latency, 4)}
         if logprobs:
-            if req.logprobs is None:
-                raise ValueError("logprobs are recorded by the plain/"
-                                 "micro-batch and speculative decode "
-                                 "paths, not the slot scheduler")
             lp = req.logprobs[:len(tokens)]
             out["logprobs"] = [round(float(x), 5) for x in lp]
         return out
@@ -331,6 +332,16 @@ class ChatService:
                     img = np.zeros((1, 1, S, S, 3), np.float32)
                     if r.image is not None:
                         img[0, 0] = r.image
+                    sample_kw = {}
+                    if self.sampling:
+                        import jax
+                        self._seed_counter += 1
+                        seed = (r.seed if r.seed is not None
+                                else self._seed_counter)
+                        sample_kw = dict(
+                            rng=jax.random.PRNGKey(seed),
+                            temperature=np.float32(r.temperature),
+                            top_p=np.float32(r.top_p))
                     if self.prefill_chunk > 0:
                         # chunked admission: live slots keep decoding
                         # between chunks, so the stall a long prompt
@@ -361,21 +372,29 @@ class ChatService:
                     else:
                         pre = self._slot_prefill(
                             self.params, jnp.asarray(ids),
-                            jnp.asarray(img), jnp.asarray(mask))
+                            jnp.asarray(img), jnp.asarray(mask),
+                            **sample_kw)
+                    ins_kw = {}
+                    if self.sampling:
+                        ins_kw = dict(
+                            temperature=np.float32(r.temperature),
+                            top_p=np.float32(r.top_p))
                     state, slot_valid = self._slot_insert(
                         state, jnp.asarray(slot), pre["first"],
                         pre["embed"], pre["cache"], pre["valid"],
-                        slot_valid)
+                        slot_valid, **ins_kw)
                     first = int(pre["first"])
+                    first_lp = float(pre.get("logprob", 0.0))
                     if r.stream_q is not None:
                         r.stream_q.put(first)
                     if first == self.eos_id or self.max_new_tokens <= 1:
                         r.tokens = np.asarray([first], np.int32)
+                        r.logprobs = np.asarray([first_lp], np.float32)
                         if r.stream_q is not None:
                             r.stream_q.put(None)
                         r.event.set()
                     else:
-                        active[slot] = (r, [first])
+                        active[slot] = (r, [first], [first_lp])
                 if active:
                     self.stats["scheduler_ticks"] += 1
                     self.stats["occupied_slot_ticks"] += len(active)
@@ -384,7 +403,7 @@ class ChatService:
                     self._dispatch_tokens(out, active)
             except BaseException as e:              # noqa: BLE001
                 self.stats["errors_total"] += len(active) + len(backlog)
-                for r, _ in active.values():
+                for r, _, _ in active.values():
                     r.error = e
                     if r.stream_q is not None:
                         r.stream_q.put(None)
@@ -402,14 +421,17 @@ class ChatService:
         """Hand each live slot its new token; finish on EOS/length."""
         toks = np.asarray(out["token"])
         fins = np.asarray(out["finished"])
+        lps = np.asarray(out["logprob"])
         for slot in list(active):
-            r, stream = active[slot]
+            r, stream, lstream = active[slot]
             tok = int(toks[slot])
             stream.append(tok)
+            lstream.append(float(lps[slot]))
             if r.stream_q is not None:
                 r.stream_q.put(tok)
             if fins[slot] or len(stream) >= self.max_new_tokens:
                 r.tokens = np.asarray(stream, np.int32)
+                r.logprobs = np.asarray(lstream, np.float32)
                 if r.stream_q is not None:
                     r.stream_q.put(None)
                 r.event.set()

@@ -61,6 +61,9 @@ class SlotState:
     emb_countdown: jnp.ndarray  # [S] int32
     emb_kind: jnp.ndarray       # [S] int32
     live: jnp.ndarray           # [S] bool
+    temperature: jnp.ndarray = None  # [S] f32 (0 = greedy per slot)
+    top_p: jnp.ndarray = None        # [S] f32
+    rng: jnp.ndarray = None          # PRNG key (sampling builds only)
 
 
 def build_slot_fns(
@@ -70,10 +73,16 @@ def build_slot_fns(
     n_slots: int,
     max_len: int = 4096,
     eos_id: int = 2,
+    sampling: bool = False,
 ):
     """Returns (init_state, prefill, insert, step) — all jitted except
     init_state. `step` emits one token per slot per call; the host
-    reads them, detects per-slot EOS/length stop, and frees slots."""
+    reads them, detects per-slot EOS/length stop, and frees slots.
+
+    ``sampling=True`` compiles per-slot temperature/top-p sampling
+    (generation.sample_token): each slot carries its own settings
+    (0 = greedy) and the state carries one PRNG key split per tick —
+    per-request seeds are not reproducible in a shared batch."""
     cfg = model.cfg
     num_embs, num_embs_gen = cfg.num_embs, cfg.num_embs_gen
     cache_dtype = (jnp.int8 if cfg.llm.kv_quant == "int8"
@@ -95,6 +104,11 @@ def build_slot_fns(
             emb_countdown=jnp.zeros((n_slots,), jnp.int32),
             emb_kind=jnp.zeros((n_slots,), jnp.int32),
             live=jnp.zeros((n_slots,), bool),
+            temperature=(jnp.zeros((n_slots,), jnp.float32)
+                         if sampling else None),
+            top_p=(jnp.ones((n_slots,), jnp.float32)
+                   if sampling else None),
+            rng=jax.random.PRNGKey(0) if sampling else None,
         )
         return state, jnp.ones((n_slots, max_len), bool)
 
@@ -102,16 +116,30 @@ def build_slot_fns(
                 images: Optional[jnp.ndarray],
                 attn_mask: Optional[jnp.ndarray] = None,
                 regions: Optional[jnp.ndarray] = None,
-                first_token: Optional[jnp.ndarray] = None
+                first_token: Optional[jnp.ndarray] = None,
+                rng: Optional[jnp.ndarray] = None,
+                temperature: Optional[jnp.ndarray] = None,
+                top_p: Optional[jnp.ndarray] = None
                 ) -> Dict[str, Any]:
         """[1, Lp] prompt → first token + embedding + single-row cache.
         Left-pad under attn_mask for the one-compiled-shape contract."""
+        from visionllm_tpu.generation import _token_logprob, sample_token
         cache = KVCache.create(cfg.llm, 1, max_len, dtype=cache_dtype)
         out = model.apply({"params": params}, input_ids, images, tid,
                           attn_mask=attn_mask, cache=cache,
                           regions=regions)
-        first = jnp.argmax(out["logits"][:, -1, :], axis=-1
-                           ).astype(jnp.int32)
+        if sampling:
+            t1 = (jnp.zeros((1,), jnp.float32) if temperature is None
+                  else jnp.broadcast_to(
+                      jnp.asarray(temperature, jnp.float32), (1,)))
+            p1 = (jnp.ones((1,), jnp.float32) if top_p is None
+                  else jnp.broadcast_to(
+                      jnp.asarray(top_p, jnp.float32), (1,)))
+            key = rng if rng is not None else jax.random.PRNGKey(0)
+            first = sample_token(out["logits"][:, -1, :], key, t1, p1)
+        else:
+            first = jnp.argmax(out["logits"][:, -1, :], axis=-1
+                               ).astype(jnp.int32)
         if first_token is not None:
             first = jnp.broadcast_to(
                 jnp.asarray(first_token, jnp.int32), first.shape)
@@ -125,11 +153,14 @@ def build_slot_fns(
         else:
             valid = jnp.ones((max_len,), bool)
         return {"first": first[0], "embed": embed,
+                "logprob": _token_logprob(out["logits"][:, -1, :],
+                                          first)[0],
                 "cache": out["cache"], "valid": valid}
 
     def insert(state: SlotState, slot: jnp.ndarray, first: jnp.ndarray,
                embed: jnp.ndarray, row_cache: KVCache,
-               valid: jnp.ndarray, slot_valid: jnp.ndarray
+               valid: jnp.ndarray, slot_valid: jnp.ndarray,
+               temperature: jnp.ndarray = 0.0, top_p: jnp.ndarray = 1.0
                ) -> SlotState:
         """Copy a prefilled request into slot `slot` (traced scalar).
         `slot_valid` is the [S, max_len] per-slot buffer mask carried
@@ -158,6 +189,13 @@ def build_slot_fns(
                 jnp.where(kind0 > 0, total0, 0)),
             emb_kind=state.emb_kind.at[slot].set(kind0),
             live=state.live.at[slot].set(first != eos_id),
+            temperature=(None if state.temperature is None else
+                         state.temperature.at[slot].set(
+                             jnp.asarray(temperature, jnp.float32))),
+            top_p=(None if state.top_p is None else
+                   state.top_p.at[slot].set(
+                       jnp.asarray(top_p, jnp.float32))),
+            rng=state.rng,
         )
         slot_valid = jax.lax.dynamic_update_slice(
             slot_valid, valid[None], (slot, 0))
@@ -203,7 +241,15 @@ def build_slot_fns(
                     slot_valid)
             nks = nvs = None
 
-        sampled = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        from visionllm_tpu.generation import _token_logprob, sample_token
+        new_rng = state.rng
+        if sampling:
+            new_rng, sub = jax.random.split(state.rng)
+            sampled = sample_token(logits[:, -1, :], sub,
+                                   state.temperature, state.top_p)
+        else:
+            sampled = jnp.argmax(logits[:, -1, :], axis=-1
+                                 ).astype(jnp.int32)
 
         # per-slot emb-countdown machine (same as generation.step_fn)
         forcing = state.emb_countdown > 0
@@ -255,9 +301,15 @@ def build_slot_fns(
                                     state.emb_countdown),
             emb_kind=jnp.where(live, kind, state.emb_kind),
             live=live & ~ended,
+            temperature=state.temperature,
+            top_p=state.top_p,
+            rng=new_rng,
         )
         return {"state": new_state, "token": token_out,
                 "hidden": hidden[:, -1, :].astype(jnp.float32),
+                "logprob": jnp.where(
+                    live, _token_logprob(logits[:, -1, :], next_token),
+                    0.0),
                 "finished": live & ended}
 
     return (init_state, jax.jit(prefill),
