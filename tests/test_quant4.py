@@ -173,3 +173,16 @@ def test_int4_weights_with_int8_kv_cache():
     toks = np.asarray(out["out_tokens"][0])
     assert 1 <= int(out["num_generated"]) <= 6
     assert (toks >= 0).all() and (toks < cfg.llm.vocab_size).all()
+
+
+def test_odd_output_width_falls_back():
+    """cout not divisible by 128 (tiny configs, odd heads) must take
+    the exact XLA fallback rather than a partial Pallas grid."""
+    rng = np.random.RandomState(4)
+    w = rng.normal(0, 0.05, (256, 320)).astype(np.float32)
+    x = jnp.asarray(rng.normal(0, 1, (3, 256)), jnp.float32)
+    wp, scale = pack_int4(jnp.asarray(w))
+    got = np.asarray(int4_matmul(x, wp, scale, interpret=True))
+    want = np.asarray(int4_matmul_ref(x, wp, scale))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    assert got.shape == (3, 320)

@@ -524,3 +524,36 @@ def test_slot_sampling_service():
     assert all(x <= 0.0 for x in g["logprobs"])
     hot = samp.generate("slot question", temperature=2.0)
     assert isinstance(hot["text"], str)
+
+
+def test_stream_validation_is_a_real_400():
+    """Malformed streaming requests (bad history, temperature without
+    --sampling) must fail with HTTP 400 BEFORE any SSE bytes."""
+    cfg = tiny_test_config(use_gdino=False, use_unipose=False,
+                           use_sd=False, use_ip2p=False,
+                           use_region_encoder=False)
+    tok = MockTokenizer()
+    svc = ChatService(cfg, None, tok,
+                      image_size=cfg.vis_encoder.image_size,
+                      max_new_tokens=6, max_prompt=128, slots=2,
+                      dtype=jnp.float32)
+    size = cfg.vis_encoder.image_size
+    img_len = (size // 14) ** 2
+    ids = jnp.asarray([[1] + [svc.tid.imp] * img_len + [5]], jnp.int32)
+    svc.params = svc.core.init(
+        jax.random.PRNGKey(23), ids,
+        jnp.zeros((1, size, size, 3), jnp.float32), svc.tid)["params"]
+    srv = make_server(svc, port=0, model_name="tiny-sse400")
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{port}"
+    try:
+        code, body = _post(url + "/v1/generate", {
+            "prompt": "x", "stream": True, "temperature": 1.5})
+        assert code == 400 and "sampling" in body["error"]
+        code, body = _post(url + "/v1/generate", {
+            "prompt": "x", "stream": True,
+            "history": [{"role": "assistant", "content": "y"}]})
+        assert code == 400
+    finally:
+        srv.shutdown()

@@ -214,7 +214,7 @@ def test_chunked_prefill_matches_monolithic(setup):
         for k in range(L_PAD // 16):
             cache_row, last = prefill_chunk(
                 params, emb[:, k * 16:(k + 1) * 16], cache_row, valid)
-        first, embed = finish(params, last)
+        first, embed, _ = finish(params, last)
 
         mono = prefill(params, ids, jnp.asarray(images[i:i + 1]), mask)
         assert int(first[0]) == int(mono["first"]), f"req {i}"
@@ -265,7 +265,7 @@ def test_chunked_prefill_interleaved_with_decode(setup):
         out = step(params, state, slot_valid)
         state = out["state"]
         s0.append(int(np.asarray(out["token"])[0]))
-    first1, embed1 = finish(params, last)
+    first1, embed1, _ = finish(params, last)
     state, slot_valid = insert(state, jnp.asarray(1), first1[0], embed1,
                                cache_row, valid1, slot_valid)
     s1 = [int(first1[0])]

@@ -19,6 +19,13 @@ from visionllm_tpu.data.mm_utils import (clip_preprocess, find_stop,
                                          tokenizer_image_token)
 
 
+def _eos_or_default(tokenizer) -> int:
+    """eos token id, defaulting to 2 only when the tokenizer has NONE
+    (a plain `or 2` would remap a legitimate id of 0)."""
+    eos = getattr(tokenizer, "eos_token_id", None)
+    return 2 if eos is None else int(eos)
+
+
 def build_vqa_prompt(question: str, conv_version: str = "vicuna_v1",
                      single_word: bool = False) -> str:
     """'<image>\\nQ ...' → full conversation prompt ending at ASSISTANT:."""
@@ -63,7 +70,7 @@ def run_vqa(
     imp_id = tokenizer.convert_tokens_to_ids(DEFAULT_TOKENS["imp"])
     conv = get_conv_template(conv_version)
     stop_strs = [conv.sep2 or conv.sep]
-    eos_id = getattr(tokenizer, "eos_token_id", None) or 2
+    eos_id = _eos_or_default(tokenizer)
 
     def finish(q, tokens):
         text = tokenizer.decode(tokens, skip_special_tokens=True)

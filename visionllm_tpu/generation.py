@@ -94,6 +94,54 @@ def _tool_kind(token: jnp.ndarray, tid: SpecialTokenIds) -> jnp.ndarray:
     return kind
 
 
+def advance_tool_state(model, params, tid, num_embs, num_embs_gen,
+                       sampled, countdown, kind):
+    """One step of the emb-countdown tool state machine, shared by the
+    step-by-step decode loop and the slot scheduler (slots.py): given
+    the freshly sampled token and the per-row (countdown, kind), pick
+    the emitted token (forced [EMB] id while counting down), its
+    next-step input embedding (tool table row vs vocab embedding), and
+    the updated (countdown, kind).
+
+    Returns (next_token [B], next_embed [B, 1, C], countdown', kind')."""
+    forcing = countdown > 0
+    total = jnp.where(kind >= C.TOOL_GEN, num_embs_gen, num_embs)
+    offset = total - countdown
+    # perception embs have distinct ids [EMB]..[EMB4]; gen/edit repeat
+    # [EMB] (reference :434-435)
+    forced_token = jnp.where(kind >= C.TOOL_GEN, tid.emb,
+                             tid.emb + offset)
+    next_token = jnp.where(forcing, forced_token, sampled)
+
+    tables = {
+        C.TOOL_DET: params["emb_embeddings_det"],
+        C.TOOL_POSE: params["emb_embeddings_pose"],
+        C.TOOL_GEN: params["emb_embeddings_gen"],
+        C.TOOL_EDIT: params["emb_embeddings_edit"],
+    }
+    next_embed = model.apply({"params": params}, next_token[:, None],
+                             method=VisionLLM.embed_tokens)
+    for code, table in tables.items():
+        n = table.shape[0]
+        row = table[jnp.clip(offset, 0, n - 1)]     # [B, C]
+        use = forcing & (kind == code)
+        next_embed = jnp.where(use[:, None, None],
+                               row[:, None, :].astype(next_embed.dtype),
+                               next_embed)
+
+    # countdown bookkeeping: start on sampled tool token, else decrement
+    new_kind = _tool_kind(sampled, tid)
+    started = (~forcing) & (new_kind > 0)
+    start_total = jnp.where(new_kind >= C.TOOL_GEN, num_embs_gen,
+                            num_embs)
+    new_countdown = jnp.where(
+        forcing, countdown - 1,
+        jnp.where(started, start_total, 0))
+    kind_out = jnp.where(forcing, kind,
+                         jnp.where(started, new_kind, 0))
+    return next_token, next_embed, new_countdown, kind_out
+
+
 def build_generate_fn(
     model: VisionLLM,
     tid: SpecialTokenIds,
@@ -137,43 +185,9 @@ def build_generate_fn(
                                  ).astype(jnp.int32)
 
         forcing = state.emb_countdown > 0
-        total = jnp.where(state.emb_kind >= C.TOOL_GEN, num_embs_gen,
-                          num_embs)
-        offset = total - state.emb_countdown
-        # perception embs have distinct ids [EMB]..[EMB4]; gen/edit repeat
-        # [EMB] (reference :434-435)
-        forced_token = jnp.where(
-            state.emb_kind >= C.TOOL_GEN, tid.emb, tid.emb + offset)
-        next_token = jnp.where(forcing, forced_token, sampled)
-
-        # embeddings for the next step's input
-        tables = {
-            C.TOOL_DET: params["emb_embeddings_det"],
-            C.TOOL_POSE: params["emb_embeddings_pose"],
-            C.TOOL_GEN: params["emb_embeddings_gen"],
-            C.TOOL_EDIT: params["emb_embeddings_edit"],
-        }
-        sampled_embed = model.apply({"params": params}, next_token[:, None],
-                                    method=VisionLLM.embed_tokens)
-        next_embed = sampled_embed
-        for code, table in tables.items():
-            n = table.shape[0]
-            row = table[jnp.clip(offset, 0, n - 1)]     # [B, C]
-            use = forcing & (state.emb_kind == code)
-            next_embed = jnp.where(use[:, None, None],
-                                   row[:, None, :].astype(next_embed.dtype),
-                                   next_embed)
-
-        # countdown bookkeeping: start on sampled tool token, else decrement
-        new_kind = _tool_kind(sampled, tid)
-        started = (~forcing) & (new_kind > 0)
-        start_total = jnp.where(new_kind >= C.TOOL_GEN, num_embs_gen,
-                                num_embs)
-        countdown = jnp.where(
-            forcing, state.emb_countdown - 1,
-            jnp.where(started, start_total, 0))
-        kind = jnp.where(forcing, state.emb_kind,
-                         jnp.where(started, new_kind, 0))
+        next_token, next_embed, countdown, kind = advance_tool_state(
+            model, params, tid, num_embs, num_embs_gen,
+            sampled, state.emb_countdown, state.emb_kind)
 
         done = state.done | ((~forcing) & (sampled == eos_id))
         rec_token = jnp.where(state.done, 0, next_token)

@@ -126,13 +126,18 @@ def int4_matmul(x: jnp.ndarray, wp: jnp.ndarray, scale: jnp.ndarray,
     Per grid cell the packed column block ([in/2, TILE_OUT] int8) is
     read once from HBM — decode's bandwidth cost is 0.5 byte/param.
     """
+    B, cin = x.shape
+    half, cout = wp.shape
+    # the kernel tiles the output in 128-lane multiples; odd widths
+    # (tiny test configs) take the XLA fallback — they are not the
+    # bandwidth-bound case the kernel exists for
+    if cout % 128 != 0:
+        return int4_matmul_ref(x, wp, scale)
     if not interpret and jax.default_backend() != "tpu":
         return int4_matmul_ref(x, wp, scale)
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    B, cin = x.shape
-    half, cout = wp.shape
     ng = scale.shape[0]
     TILE_B = 16 if B <= 16 else 128
     TILE_O = 256 if cout % 256 == 0 else 128

@@ -48,6 +48,13 @@ import numpy as np
 from visionllm_tpu.constants import DEFAULT_TOKENS
 
 
+def _eos_or_default(tokenizer) -> int:
+    """eos token id, defaulting to 2 only when the tokenizer has NONE
+    (a plain `or 2` would remap a legitimate id of 0)."""
+    eos = getattr(tokenizer, "eos_token_id", None)
+    return 2 if eos is None else int(eos)
+
+
 class _Request:
     __slots__ = ("ids", "image", "event", "tokens", "error", "stream_q",
                  "temperature", "top_p", "seed", "logprobs")
@@ -104,6 +111,13 @@ class ChatService:
             raise ValueError(
                 "sampling with chunked prefill is not wired yet: the "
                 "chunked finish samples the first token greedily")
+        if prefill_chunk > 0 and getattr(cfg.llm, "kv_quant", "") == \
+                "int8":
+            raise ValueError(
+                "chunked prefill with an int8 KV cache is not exact: "
+                "monolithic prefill attends the fresh bf16 window while "
+                "chunk windows read back the quantized cache — run "
+                "--prefill-chunk without --kv-quant")
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
@@ -117,7 +131,7 @@ class ChatService:
         self.slots = slots
         self.img_len = (image_size // 14) ** 2
         self.tid = SpecialTokenIds.from_tokenizer(tokenizer)
-        self.eos_id = getattr(tokenizer, "eos_token_id", None) or 2
+        self.eos_id = _eos_or_default(tokenizer)
         self.core = VisionLLM(cfg, dtype=dtype or jnp.bfloat16)
         if slots > 0:
             from visionllm_tpu.slots import (build_chunked_prefill_fns,
@@ -266,34 +280,66 @@ class ChatService:
 
     def generate_stream(self, prompt: str,
                         image: Optional[np.ndarray] = None,
-                        history: Optional[List] = None):
-        """Incremental generation: yields text deltas as the slot
-        scheduler decodes (continuous-batching mode only — the other
-        modes run the whole decode inside one jitted call and have no
-        per-token host visibility)."""
+                        history: Optional[List] = None,
+                        max_new_tokens: Optional[int] = None,
+                        temperature: float = 0.0, top_p: float = 1.0,
+                        seed: Optional[int] = None):
+        """Incremental generation: returns an iterator of text deltas
+        as the slot scheduler decodes (continuous-batching mode only —
+        the other modes run the whole decode inside one jitted call and
+        have no per-token host visibility).
+
+        Validation (mode, sampling flags, history shape) happens HERE,
+        before any token — the HTTP layer can still answer 400; the
+        returned iterator only raises for mid-decode failures. Applies
+        the same conversation stop-string trim and per-request
+        max_new_tokens as the blocking path, so the concatenated deltas
+        equal the non-streaming answer."""
+        from visionllm_tpu.data.mm_utils import find_stop
+
         if self.slots <= 0:
             raise ValueError("streaming requires continuous batching "
                              "(slots > 0)")
-        ids, img, _ = self._encode(prompt, image, history)
-        r = _Request(ids, img)
+        if temperature > 0 and not self.sampling:
+            raise ValueError("temperature > 0 requires a sampling "
+                             "server (serve --sampling)")
+        ids, img, conv = self._encode(prompt, image, history)
+        r = _Request(ids, img, temperature=temperature, top_p=top_p,
+                     seed=seed)
         r.stream_q = queue.Queue()
-        self._queue.put(r)
-        sent = ""
-        toks: List[int] = []
-        while True:
-            item = r.stream_q.get()
-            if item is None:
-                break
-            toks.append(item)
-            text = self.tokenizer.decode(toks, skip_special_tokens=True)
-            delta = text[len(sent):]
-            if delta:
-                sent = text
-                yield delta
-        self.stats["requests_total"] += 1
-        self.stats["tokens_generated_total"] += len(toks)
-        if r.error is not None:
-            raise r.error
+        stop = conv.sep2 or conv.sep
+        limit = min(max_new_tokens or self.max_new_tokens,
+                    self.max_new_tokens)
+
+        def deltas():
+            t0 = time.perf_counter()
+            self._queue.put(r)
+            sent = ""
+            toks: List[int] = []
+            while True:
+                item = r.stream_q.get()
+                if item is None:
+                    break
+                toks.append(item)
+                text = self.tokenizer.decode(toks[:limit],
+                                             skip_special_tokens=True)
+                cut = find_stop(text, [stop])
+                hit_stop = cut is not None
+                if hit_stop:
+                    text = text[:cut]
+                delta = text[len(sent):]
+                if delta:
+                    sent = text
+                    yield delta
+                if hit_stop or len(toks) >= limit:
+                    break
+            if r.error is not None:
+                raise r.error
+            self.stats["requests_total"] += 1
+            self.stats["tokens_generated_total"] += len(toks)
+            self.stats["latency_sum_s"] += time.perf_counter() - t0
+
+        return deltas()
 
     # ---- continuous-batching scheduler (slots.py engine) ----
 
@@ -365,9 +411,10 @@ class ChatService:
                                     self.params, state, slot_valid)
                                 state = out["state"]
                                 self._dispatch_tokens(out, active)
-                        first_t, embed = self._chunk_finish(
+                        first_t, embed, first_lp_t = self._chunk_finish(
                             self.params, last)
                         pre = {"first": first_t[0], "embed": embed,
+                               "logprob": first_lp_t,
                                "cache": cache_row, "valid": valid}
                     else:
                         pre = self._slot_prefill(
@@ -566,19 +613,22 @@ class _Handler(BaseHTTPRequestHandler):
                 shape = tuple(req["image_shape"])
                 image = np.frombuffer(raw, np.uint8).reshape(shape)
             if req.get("stream"):
-                if self.service.slots <= 0:
-                    self._reply(400, {"error": "streaming requires a "
-                                      "--slots (continuous batching) "
-                                      "server"})
-                    return
+                # validation (mode, sampling flags, history) happens
+                # before any header goes out, so bad requests are real
+                # 400s; only mid-decode failures become error frames
+                it = self.service.generate_stream(
+                    prompt, image, history=req.get("history"),
+                    max_new_tokens=req.get("max_new_tokens"),
+                    temperature=float(req.get("temperature", 0.0)),
+                    top_p=float(req.get("top_p", 1.0)),
+                    seed=req.get("seed"))
                 # server-sent events: one data frame per text delta
                 self.send_response(200)
                 self.send_header("Content-Type", "text/event-stream")
                 self.send_header("Cache-Control", "no-cache")
                 self.end_headers()
                 try:
-                    for delta in self.service.generate_stream(
-                            prompt, image, req.get("history")):
+                    for delta in it:
                         frame = json.dumps({"delta": delta})
                         self.wfile.write(
                             f"data: {frame}\n\n".encode())

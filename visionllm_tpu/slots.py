@@ -251,40 +251,13 @@ def build_slot_fns(
             sampled = jnp.argmax(logits[:, -1, :], axis=-1
                                  ).astype(jnp.int32)
 
-        # per-slot emb-countdown machine (same as generation.step_fn)
+        # per-slot emb-countdown machine (shared with the step-by-step
+        # loop — generation.advance_tool_state)
+        from visionllm_tpu.generation import advance_tool_state
         forcing = state.emb_countdown > 0
-        total = jnp.where(state.emb_kind >= C.TOOL_GEN, num_embs_gen,
-                          num_embs)
-        offset = total - state.emb_countdown
-        forced_token = jnp.where(
-            state.emb_kind >= C.TOOL_GEN, tid.emb, tid.emb + offset)
-        next_token = jnp.where(forcing, forced_token, sampled)
-
-        tables = {
-            C.TOOL_DET: params["emb_embeddings_det"],
-            C.TOOL_POSE: params["emb_embeddings_pose"],
-            C.TOOL_GEN: params["emb_embeddings_gen"],
-            C.TOOL_EDIT: params["emb_embeddings_edit"],
-        }
-        next_embed = model.apply({"params": params}, next_token[:, None],
-                                 method=VisionLLM.embed_tokens)
-        for code, table in tables.items():
-            n = table.shape[0]
-            row = table[jnp.clip(offset, 0, n - 1)]
-            use = forcing & (state.emb_kind == code)
-            next_embed = jnp.where(
-                use[:, None, None],
-                row[:, None, :].astype(next_embed.dtype), next_embed)
-
-        new_kind = _tool_kind(sampled, tid)
-        started = (~forcing) & (new_kind > 0)
-        start_total = jnp.where(new_kind >= C.TOOL_GEN, num_embs_gen,
-                                num_embs)
-        countdown = jnp.where(
-            forcing, state.emb_countdown - 1,
-            jnp.where(started, start_total, 0))
-        kind = jnp.where(forcing, state.emb_kind,
-                         jnp.where(started, new_kind, 0))
+        next_token, next_embed, countdown, kind = advance_tool_state(
+            model, params, tid, num_embs, num_embs_gen,
+            sampled, state.emb_countdown, state.emb_kind)
 
         ended = (~forcing) & (sampled == eos_id)
         live = state.live
@@ -369,10 +342,11 @@ def build_chunked_prefill_fns(
         return out["cache"], out["logits"][:, -1]
 
     def finish(params, last_logits):
+        from visionllm_tpu.generation import _token_logprob
         first = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
         embed = model.apply({"params": params}, first[:, None],
                             method=VisionLLM.embed_tokens)
-        return first, embed
+        return first, embed, _token_logprob(last_logits, first)[0]
 
     return (new_row_cache, jax.jit(embed_prompt),
             jax.jit(prefill_chunk, donate_argnums=(2,)),
