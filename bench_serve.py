@@ -1,0 +1,233 @@
+"""Serving-stack benchmark: drive the REAL HTTP server end-to-end.
+
+Measures what a deployment sees — requests/sec, latency percentiles,
+and aggregate generated tok/s — through the full stack (HTTP → prompt
+templating → prefill → decode → detokenize), for each serving mode:
+
+    python bench_serve.py --mode batch --max-batch 8 --requests 32
+    python bench_serve.py --mode slots --slots 8
+    python bench_serve.py --mode spec  --spec-k 7
+    python bench_serve.py --tiny ...          # CPU smoke (tests)
+
+Defaults to the 7B serving configuration with int8 weight-only
+quantization (the 16 GB v5e chip holds the 6.7 GB int8 tree
+comfortably; random-init — timing is value-independent). Emits ONE
+JSON line and writes bench_serve.json.
+
+Latency caveat: on the axon relay each host↔device round trip costs
+O(10 ms)+, which inflates per-request latency (slots mode pays one
+trip per token). Aggregate tok/s and requests/sec amortize it less;
+on-pod deployments see lower latencies than these numbers.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import threading
+import time
+
+
+def log(msg):
+    print(f"[bench_serve +{time.time()-T0:6.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+T0 = time.time()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="batch",
+                    choices=["plain", "batch", "slots", "spec"])
+    ap.add_argument("--max-batch", type=int, default=8)
+    ap.add_argument("--slots", type=int, default=8)
+    ap.add_argument("--spec-k", type=int, default=7)
+    ap.add_argument("--requests", type=int, default=24)
+    ap.add_argument("--concurrency", type=int, default=8)
+    ap.add_argument("--max-new-tokens", type=int, default=32)
+    ap.add_argument("--max-prompt", type=int, default=704)
+    ap.add_argument("--quant", default="int8",
+                    choices=["", "int8", "int4"])
+    ap.add_argument("--tiny", action="store_true")
+    args = ap.parse_args()
+
+    import numpy as np
+
+    import jax
+
+    if args.tiny:
+        # CPU smoke: must win over the environment's TPU pin before any
+        # backend initializes (env vars are too late — see conftest.py)
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        # fail fast if the TPU backend is unreachable (same contract as
+        # bench.py's probe): 2 retries then CPU fallback with a note
+        for attempt in range(3):
+            try:
+                jax.devices()
+                break
+            except Exception as e:              # noqa: BLE001
+                log(f"backend probe failed ({attempt + 1}): "
+                    f"{str(e)[:150]}")
+                if attempt == 2:
+                    jax.config.update("jax_platforms", "cpu")
+                    log("falling back to CPU")
+                time.sleep(5)
+    import jax.numpy as jnp
+
+    from visionllm_tpu.config import tiny_test_config, vllm_7b_config
+    from visionllm_tpu.serve import ChatService, make_server
+    from visionllm_tpu.utils.simple_tokenizer import MockTokenizer
+
+    if args.tiny:
+        cfg = tiny_test_config(use_gdino=False, use_unipose=False,
+                               use_sd=False, use_ip2p=False,
+                               use_region_encoder=False)
+    else:
+        import dataclasses
+        cfg = vllm_7b_config()
+        cfg = dataclasses.replace(
+            cfg, use_gdino=False, use_unipose=False, use_sd=False,
+            use_ip2p=False, use_region_encoder=False,
+            llm=dataclasses.replace(cfg.llm, quant=args.quant))
+    tok = MockTokenizer()
+    mode_kw = {}
+    if args.mode == "batch":
+        mode_kw = dict(max_batch=args.max_batch, batch_window_ms=30.0)
+    elif args.mode == "slots":
+        mode_kw = dict(slots=args.slots)
+    elif args.mode == "spec":
+        mode_kw = dict(spec_k=args.spec_k)
+    dtype = jnp.float32 if args.tiny else jnp.bfloat16
+    svc = ChatService(cfg, None, tok,
+                      image_size=cfg.vis_encoder.image_size,
+                      max_new_tokens=args.max_new_tokens,
+                      max_prompt=args.max_prompt, dtype=dtype,
+                      **mode_kw)
+
+    # random-init params shaped by a probe prompt, cast to the serving
+    # dtype inside jit (the f32 tree would not fit the chip at 7B)
+    size = cfg.vis_encoder.image_size
+    img_len = (size // 14) ** 2
+    ids = jnp.asarray([[1] + [svc.tid.imp] * img_len + [5, 6]],
+                      jnp.int32)
+
+    def init(r):
+        p = svc.core.init(r, ids,
+                          jnp.zeros((1, size, size, 3), jnp.float32),
+                          svc.tid)["params"]
+        return jax.tree.map(
+            lambda x: x.astype(dtype)
+            if x.dtype == jnp.float32 else x, p)
+
+    t = time.time()
+    params = jax.jit(init)(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    log(f"init {time.time()-t:.1f}s")
+    if args.quant and not args.tiny:
+        from visionllm_tpu.ops.quant import quantize_serving_params
+        t = time.time()
+        params = quantize_serving_params(
+            params, bits=4 if args.quant == "int4" else 8,
+            delete_source=True)
+        jax.block_until_ready(jax.tree.leaves(params)[:1])
+        log(f"quantize({args.quant}) {time.time()-t:.1f}s")
+    svc.params = params
+
+    srv = make_server(svc, port=0, model_name=f"bench-{args.mode}")
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{port}/v1/generate"
+    import urllib.request
+
+    def post(body, timeout=1200):
+        req = urllib.request.Request(
+            url, json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            return json.loads(r.read())
+
+    prompts = [
+        "what is shown in the image",
+        "describe the scene in detail please",
+        "how many objects are there",
+        "is there a person in this picture",
+    ]
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (480, 640, 3), np.uint8)
+    import base64
+    img_body = {"image_b64": base64.b64encode(img.tobytes()).decode(),
+                "image_shape": list(img.shape)}
+
+    # warm: pay every compile before the measured window
+    t = time.time()
+    post({"prompt": prompts[0], **img_body})
+    post({"prompt": prompts[1]})
+    log(f"warm (compiles) {time.time()-t:.1f}s")
+
+    lat = []
+    tokens = []
+    errs = [0]
+    lock = threading.Lock()
+    reqs = [{"prompt": prompts[i % len(prompts)],
+             **(img_body if i % 2 == 0 else {})}
+            for i in range(args.requests)]
+    it = iter(range(args.requests))
+
+    def worker():
+        while True:
+            with lock:
+                try:
+                    i = next(it)
+                except StopIteration:
+                    return
+            t0 = time.perf_counter()
+            try:
+                out = post(reqs[i])
+                dt = time.perf_counter() - t0
+                with lock:
+                    lat.append(dt)
+                    tokens.append(out["num_tokens"])
+            except Exception as e:              # noqa: BLE001
+                log(f"request {i} failed: {e}")
+                with lock:
+                    errs[0] += 1
+
+    t_run = time.perf_counter()
+    threads = [threading.Thread(target=worker)
+               for _ in range(args.concurrency)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    wall = time.perf_counter() - t_run
+
+    lat.sort()
+    n = len(lat)
+    result = {
+        "metric": f"serve_{args.mode}_requests_per_sec",
+        "value": round(n / wall, 3) if wall > 0 else 0.0,
+        "unit": "req/s",
+        "mode": args.mode,
+        "requests": n,
+        "errors": errs[0],
+        "concurrency": args.concurrency,
+        "quant": args.quant if not args.tiny else "",
+        "max_new_tokens": args.max_new_tokens,
+        "wall_s": round(wall, 2),
+        "agg_tok_s": round(sum(tokens) / wall, 2) if wall > 0 else 0.0,
+        "latency_p50_s": round(lat[n // 2], 3) if n else None,
+        "latency_p95_s": round(lat[min(n - 1, int(n * .95))], 3)
+        if n else None,
+        "device": jax.devices()[0].platform,
+    }
+    print(json.dumps(result), flush=True)
+    with open("bench_serve.json", "w") as f:
+        json.dump(result, f)
+    srv.shutdown()
+
+
+if __name__ == "__main__":
+    main()
