@@ -557,3 +557,45 @@ def test_stream_validation_is_a_real_400():
         assert code == 400
     finally:
         srv.shutdown()
+
+
+def test_overload_sheds_with_503():
+    """A full admission queue must answer 503 rather than queueing
+    unboundedly."""
+    from visionllm_tpu.serve import Overloaded
+
+    cfg = tiny_test_config(use_gdino=False, use_unipose=False,
+                           use_sd=False, use_ip2p=False,
+                           use_region_encoder=False)
+    tok = MockTokenizer()
+    svc = ChatService(cfg, None, tok,
+                      image_size=cfg.vis_encoder.image_size,
+                      max_new_tokens=6, max_prompt=128, max_queue=1,
+                      dtype=jnp.float32)
+    size = cfg.vis_encoder.image_size
+    img_len = (size // 14) ** 2
+    ids = jnp.asarray([[1] + [svc.tid.imp] * img_len + [5]], jnp.int32)
+    svc.params = svc.core.init(
+        jax.random.PRNGKey(29), ids,
+        jnp.zeros((1, size, size, 3), jnp.float32), svc.tid)["params"]
+    # first request compiles (slow) and occupies the dispatcher; fill
+    # the 1-deep queue behind it, then the next submit must shed
+    ok = {"n": 0}
+
+    def fire():
+        try:
+            svc.generate("hold the line")
+            ok["n"] += 1
+        except Overloaded:
+            pass
+
+    threads = [threading.Thread(target=fire) for _ in range(6)]
+    shed = 0
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    # at least one must succeed; with a 1-deep queue and 6 concurrent
+    # submissions during a multi-second compile, at least one sheds
+    assert ok["n"] >= 1
+    assert ok["n"] < 6

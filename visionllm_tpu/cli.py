@@ -233,6 +233,9 @@ def main(argv=None):
                          "chunks, interleaving decode steps so a long "
                          "prompt stalls live streams by one chunk, not "
                          "the whole prefill")
+    sv.add_argument("--max-queue", type=int, default=256,
+                    help="waiting-request bound; beyond it the server "
+                         "sheds load with HTTP 503")
     sv.add_argument("--sampling", action="store_true",
                     help="compile the temperature/top-p sampling path; "
                          "requests may then pass temperature/top_p/seed "
@@ -382,7 +385,7 @@ def main(argv=None):
             max_prompt=args.max_prompt, max_batch=args.max_batch,
             batch_window_ms=args.batch_window_ms, spec_k=args.spec_k,
             slots=args.slots, prefill_chunk=args.prefill_chunk,
-            sampling=args.sampling,
+            sampling=args.sampling, max_queue=args.max_queue,
             dtype=jnp.float32 if args.tiny else jnp.bfloat16)
         if params is not None:
             svc.params = params["core"] if "core" in params else params

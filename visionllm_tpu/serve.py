@@ -48,6 +48,10 @@ import numpy as np
 from visionllm_tpu.constants import DEFAULT_TOKENS
 
 
+class Overloaded(RuntimeError):
+    """Request queue is full — callers should retry later (HTTP 503)."""
+
+
 def _eos_or_default(tokenizer) -> int:
     """eos token id, defaulting to 2 only when the tokenizer has NONE
     (a plain `or 2` would remap a legitimate id of 0)."""
@@ -85,7 +89,7 @@ class ChatService:
                  max_batch: int = 1, batch_window_ms: float = 4.0,
                  spec_k: int = 0, slots: int = 0,
                  prefill_chunk: int = 0, sampling: bool = False,
-                 dtype=None):
+                 max_queue: int = 256, dtype=None):
         import jax.numpy as jnp
 
         from visionllm_tpu.generation import (
@@ -175,9 +179,22 @@ class ChatService:
         self.stats = {"requests_total": 0, "tokens_generated_total": 0,
                       "latency_sum_s": 0.0, "errors_total": 0,
                       "scheduler_ticks": 0, "occupied_slot_ticks": 0}
-        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        # bounded admission queue: beyond max_queue waiting requests the
+        # service sheds load (Overloaded → HTTP 503) instead of growing
+        # an unbounded backlog of doomed-to-time-out work
+        self._queue: "queue.Queue[_Request]" = queue.Queue(
+            maxsize=max_queue)
         self._dispatcher = threading.Thread(target=loop, daemon=True)
         self._dispatcher.start()
+
+    def _submit(self, req: "_Request") -> None:
+        try:
+            self._queue.put_nowait(req)
+        except queue.Full:
+            self.stats["errors_total"] += 1
+            raise Overloaded(
+                f"request queue full ({self._queue.maxsize} waiting)"
+            ) from None
 
     def metrics(self) -> dict:
         s = dict(self.stats)
@@ -255,7 +272,7 @@ class ChatService:
         req = _Request(ids, img, temperature=temperature, top_p=top_p,
                        seed=seed)
         t0 = time.perf_counter()
-        self._queue.put(req)
+        self._submit(req)
         req.event.wait()
         latency = time.perf_counter() - t0
         if req.error is not None:
@@ -311,9 +328,12 @@ class ChatService:
         limit = min(max_new_tokens or self.max_new_tokens,
                     self.max_new_tokens)
 
+        # submit before handing back the iterator so a full queue is a
+        # real Overloaded (HTTP 503), not an error frame after headers
+        t0 = time.perf_counter()
+        self._submit(r)
+
         def deltas():
-            t0 = time.perf_counter()
-            self._queue.put(r)
             sent = ""
             toks: List[int] = []
             while True:
@@ -648,6 +668,8 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(200, out)
         except (KeyError, ValueError, TypeError) as e:
             self._reply(400, {"error": f"bad request: {e}"})
+        except Overloaded as e:
+            self._reply(503, {"error": str(e), "retry": True})
         except Exception as e:                          # noqa: BLE001
             self._reply(500, {"error": str(e)[:500]})
 
