@@ -57,6 +57,15 @@ def _load_model_and_params(args, tiny: bool = False):
     return cfg, model, params, tokenizer, tid
 
 
+def _merge_params(a, b):
+    """Recursive param-dict union (det-init ∪ pose-init trees)."""
+    out = dict(a)
+    for k, v in b.items():
+        out[k] = _merge_params(out[k], v) if (
+            k in out and isinstance(v, dict)) else out.get(k, v)
+    return out
+
+
 def _build_core_generate(cfg, params, tid, tiny, max_new_tokens, tok):
     """Jitted emb-countdown generate over the composite core; random
     params if no checkpoint (smoke runs). Init includes a region so the
@@ -236,6 +245,21 @@ def main(argv=None):
     sv.add_argument("--max-queue", type=int, default=256,
                     help="waiting-request bound; beyond it the server "
                          "sheds load with HTTP 503")
+    sv.add_argument("--sessions", type=int, default=0,
+                    help="with --slots: park up to M finished chat "
+                         "sessions' KV; a follow-up turn passing the "
+                         "same \"session\" id prefills only its new "
+                         "tokens (prefix KV reuse)")
+    sv.add_argument("--session-chunk", type=int, default=64,
+                    help="token window width for session extension")
+    sv.add_argument("--max-ctx", type=int, default=None,
+                    help="override the per-slot KV buffer length "
+                         "(multi-turn sessions grow past "
+                         "max_prompt+max_new_tokens)")
+    sv.add_argument("--perception", action="store_true",
+                    help="also serve the perception endpoints "
+                         "(POST /v1/detect, /v1/ground, /v1/pose) via "
+                         "infer.Predictor on the same params")
     sv.add_argument("--sampling", action="store_true",
                     help="compile the temperature/top-p sampling path; "
                          "requests may then pass temperature/top_p/seed "
@@ -386,6 +410,8 @@ def main(argv=None):
             batch_window_ms=args.batch_window_ms, spec_k=args.spec_k,
             slots=args.slots, prefill_chunk=args.prefill_chunk,
             sampling=args.sampling, max_queue=args.max_queue,
+            sessions=args.sessions, session_chunk=args.session_chunk,
+            max_ctx=args.max_ctx,
             dtype=jnp.float32 if args.tiny else jnp.bfloat16)
         if params is not None:
             svc.params = params["core"] if "core" in params else params
@@ -399,7 +425,32 @@ def main(argv=None):
                 jax.random.PRNGKey(0), ids,
                 jnp.zeros((1, size, size, 3), jnp.float32),
                 svc.tid)["params"]
-        serve(svc, args.host, args.port)
+        predictor = None
+        if args.perception:
+            import numpy as np
+            from visionllm_tpu.infer import Predictor
+            from visionllm_tpu.models.composite import VisionLLMWithTools
+            predictor = Predictor(
+                cfg, params, tok,
+                dtype=jnp.float32 if args.tiny else jnp.bfloat16)
+            if params is None:
+                # random-init smoke perception (no checkpoint): init the
+                # composite incl. tool branches from a prepared sample
+                img = np.zeros((48, 64, 3), np.uint8)
+                arr = predictor._prepare(img, "<image>\nq", "a")
+                init_args = (jax.random.PRNGKey(0), arr["input_ids"],
+                             arr["image"], arr["image_aug"],
+                             predictor.tid)
+                p = predictor.model.init(
+                    *init_args, pixel_mask=arr["pixel_mask"],
+                    method=VisionLLMWithTools.infer_det)["params"]
+                if cfg.use_unipose:
+                    pose_p = predictor.model.init(
+                        *init_args, 1, pixel_mask=arr["pixel_mask"],
+                        method=VisionLLMWithTools.infer_pose)["params"]
+                    p = _merge_params(p, pose_p)
+                predictor.params = p
+        serve(svc, args.host, args.port, predictor=predictor)
     elif args.cmd == "train":
         import jax.numpy as jnp
         from visionllm_tpu.config import tiny_test_config, vllm_7b_config

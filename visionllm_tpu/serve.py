@@ -41,7 +41,7 @@ import queue
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import List, Optional
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -61,11 +61,15 @@ def _eos_or_default(tokenizer) -> int:
 
 class _Request:
     __slots__ = ("ids", "image", "event", "tokens", "error", "stream_q",
-                 "temperature", "top_p", "seed", "logprobs")
+                 "temperature", "top_p", "seed", "logprobs", "session",
+                 "session_hit")
 
     def __init__(self, ids: np.ndarray, image: Optional[np.ndarray],
                  temperature: float = 0.0, top_p: float = 1.0,
-                 seed: Optional[int] = None):
+                 seed: Optional[int] = None,
+                 session: Optional[str] = None):
+        self.session = session       # session id for KV reuse (slots)
+        self.session_hit = False     # set by the scheduler on reuse
         self.ids = ids
         self.image = image           # preprocessed [S, S, 3] or None
         self.event = threading.Event()
@@ -89,7 +93,9 @@ class ChatService:
                  max_batch: int = 1, batch_window_ms: float = 4.0,
                  spec_k: int = 0, slots: int = 0,
                  prefill_chunk: int = 0, sampling: bool = False,
-                 max_queue: int = 256, dtype=None):
+                 max_queue: int = 256, sessions: int = 0,
+                 session_chunk: int = 64,
+                 max_ctx: Optional[int] = None, dtype=None):
         import jax.numpy as jnp
 
         from visionllm_tpu.generation import (
@@ -122,6 +128,20 @@ class ChatService:
                 "monolithic prefill attends the fresh bf16 window while "
                 "chunk windows read back the quantized cache — run "
                 "--prefill-chunk without --kv-quant")
+        if sessions > 0 and slots <= 0:
+            raise ValueError(
+                "session KV reuse rides the continuous-batching slot "
+                "state — pass slots > 0 (serve --slots N --sessions M)")
+        if sessions > 0 and sampling:
+            raise ValueError(
+                "session reuse with sampling is not wired yet: the "
+                "extension finish samples the first token greedily "
+                "(same limitation as chunked prefill)")
+        if sessions > 0 and getattr(cfg.llm, "kv_quant", "") == "int8":
+            raise ValueError(
+                "session reuse with an int8 KV cache is not exact: the "
+                "extend window reads the cache back — run --sessions "
+                "without --kv-quant")
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
@@ -134,6 +154,7 @@ class ChatService:
         self.spec_k = spec_k
         self.slots = slots
         self.img_len = (image_size // 14) ** 2
+        self.max_sessions = 0
         self.tid = SpecialTokenIds.from_tokenizer(tokenizer)
         self.eos_id = _eos_or_default(tokenizer)
         self.core = VisionLLM(cfg, dtype=dtype or jnp.bfloat16)
@@ -147,6 +168,13 @@ class ChatService:
                 self.max_prompt = (-(-max_prompt // prefill_chunk)
                                    * prefill_chunk)
             slot_max_len = self.max_prompt + max_new_tokens + 8
+            if sessions > 0:
+                # parked conversations grow turn by turn — give the KV
+                # buffer follow-up headroom beyond the single-turn size
+                slot_max_len += 3 * (max_new_tokens + 2 * session_chunk)
+            if max_ctx is not None:
+                slot_max_len = max(slot_max_len, max_ctx)
+            self.slot_max_len = slot_max_len
             (self._slot_init, self._slot_prefill, self._slot_insert,
              self._slot_step) = build_slot_fns(
                 self.core, self.tid, n_slots=slots,
@@ -157,6 +185,18 @@ class ChatService:
                  self._chunk_finish) = build_chunked_prefill_fns(
                     self.core, self.tid, chunk=prefill_chunk,
                     max_len=slot_max_len)
+            self.max_sessions = sessions
+            self.session_chunk = session_chunk
+            # sid -> {"slot", "ids" (cached token prefix whose K/V are
+            # in the slot), "fill" (row fill index), "stamp"}
+            self._sessions: Dict[str, dict] = {}
+            self._slot_sid: Dict[int, str] = {}
+            self._stamp = 0
+            if sessions > 0:
+                from visionllm_tpu.slots import build_session_fns
+                (self._sess_extract, self._sess_embed,
+                 self._sess_extend, self._sess_finish,
+                 self._sess_kill) = build_session_fns(self.core)
             loop = self._slot_loop
         elif spec_k > 0:
             self.generate_fn = build_speculative_generate_fn(
@@ -179,6 +219,9 @@ class ChatService:
         self.stats = {"requests_total": 0, "tokens_generated_total": 0,
                       "latency_sum_s": 0.0, "errors_total": 0,
                       "scheduler_ticks": 0, "occupied_slot_ticks": 0}
+        if getattr(self, "max_sessions", 0) > 0:
+            self.stats["session_hits"] = 0
+            self.stats["session_misses"] = 0
         # bounded admission queue: beyond max_queue waiting requests the
         # service sheds load (Overloaded → HTTP 503) instead of growing
         # an unbounded backlog of doomed-to-time-out work
@@ -261,16 +304,20 @@ class ChatService:
                  history: Optional[List] = None,
                  temperature: float = 0.0, top_p: float = 1.0,
                  seed: Optional[int] = None,
-                 logprobs: bool = False) -> dict:
+                 logprobs: bool = False,
+                 session: Optional[str] = None) -> dict:
         from visionllm_tpu.data.mm_utils import find_stop
 
         if temperature > 0 and not self.sampling:
             raise ValueError("temperature > 0 requires a sampling "
                              "server (ChatService(sampling=True) / "
                              "serve --sampling)")
+        if session is not None and self.max_sessions <= 0:
+            raise ValueError("session KV reuse requires a session "
+                             "server (serve --slots N --sessions M)")
         ids, img, conv = self._encode(prompt, image, history)
         req = _Request(ids, img, temperature=temperature, top_p=top_p,
-                       seed=seed)
+                       seed=seed, session=session)
         t0 = time.perf_counter()
         self._submit(req)
         req.event.wait()
@@ -293,6 +340,9 @@ class ChatService:
         if logprobs:
             lp = req.logprobs[:len(tokens)]
             out["logprobs"] = [round(float(x), 5) for x in lp]
+        if session is not None:
+            out["session"] = session
+            out["session_reused"] = bool(req.session_hit)
         return out
 
     def generate_stream(self, prompt: str,
@@ -300,7 +350,8 @@ class ChatService:
                         history: Optional[List] = None,
                         max_new_tokens: Optional[int] = None,
                         temperature: float = 0.0, top_p: float = 1.0,
-                        seed: Optional[int] = None):
+                        seed: Optional[int] = None,
+                        session: Optional[str] = None):
         """Incremental generation: returns an iterator of text deltas
         as the slot scheduler decodes (continuous-batching mode only —
         the other modes run the whole decode inside one jitted call and
@@ -320,9 +371,12 @@ class ChatService:
         if temperature > 0 and not self.sampling:
             raise ValueError("temperature > 0 requires a sampling "
                              "server (serve --sampling)")
+        if session is not None and self.max_sessions <= 0:
+            raise ValueError("session KV reuse requires a session "
+                             "server (serve --slots N --sessions M)")
         ids, img, conv = self._encode(prompt, image, history)
         r = _Request(ids, img, temperature=temperature, top_p=top_p,
-                     seed=seed)
+                     seed=seed, session=session)
         r.stream_q = queue.Queue()
         stop = conv.sep2 or conv.sep
         limit = min(max_new_tokens or self.max_new_tokens,
@@ -361,6 +415,105 @@ class ChatService:
 
         return deltas()
 
+    # ---- session (multi-turn prefix) KV reuse -----------------------
+
+    def _session_delta(self, r: "_Request"):
+        """If `r` can extend a parked session, return
+        (slot, delta_ids, prev_fill); else evict any stale parked entry
+        for its sid and return None. Reuse requires the new
+        conversation's token ids to start with the EXACT cached prefix
+        (prompt + previously generated tokens whose K/V are in the
+        slot), a delta free of image/region/[EMB] tokens (those need
+        the prompt-assembly splices, not plain embeddings), and room in
+        the KV buffer for delta + a full response."""
+        ent = self._sessions.get(r.session)
+        if ent is None:
+            return None
+        cached, ids = ent["ids"], np.asarray(r.ids, np.int32)
+        ok = (len(ids) > len(cached)
+              and bool(np.array_equal(ids[:len(cached)], cached)))
+        if ok:
+            delta = ids[len(cached):]
+            guard = {self.tid.img, self.tid.imp, self.tid.reg} | set(
+                range(self.tid.emb, self.tid.emb + 8))
+            ok = not any(int(t) in guard for t in delta)
+        if ok:
+            ok = (ent["fill"] + len(delta) + self.max_new_tokens + 1
+                  <= self.slot_max_len)
+        if not ok:
+            self._evict_session(r.session)
+            return None
+        return ent["slot"], delta, ent["fill"]
+
+    def _evict_session(self, sid: str) -> None:
+        ent = self._sessions.pop(sid, None)
+        if ent is not None:
+            self._slot_sid.pop(ent["slot"], None)
+
+    def _evict_lru_session(self) -> Optional[int]:
+        """Drop the least-recently-used parked session; returns its
+        freed slot (None if nothing is parked)."""
+        if not self._sessions:
+            return None
+        sid = min(self._sessions,
+                  key=lambda s: self._sessions[s]["stamp"])
+        slot = self._sessions[sid]["slot"]
+        self._evict_session(sid)
+        return slot
+
+    def _park(self, r: "_Request", slot: int, stream: List[int],
+              device_dead: bool, state, fill0: int):
+        """Keep a finished session request's slot KV for the follow-up
+        turn. The LAST token's K/V is not in the cache (it was sampled
+        but never fed), so it belongs to the next turn's delta."""
+        if r.session is None or self.max_sessions <= 0:
+            return state
+        import jax.numpy as jnp
+        if not device_dead:
+            # length-stopped: the device still thinks the slot is live
+            # and would advance its fill index every tick
+            state = self._sess_kill(state, jnp.asarray(slot))
+        self._evict_session(r.session)
+        self._stamp += 1
+        self._sessions[r.session] = {
+            "slot": slot,
+            "ids": np.concatenate([np.asarray(r.ids, np.int32),
+                                   np.asarray(stream[:-1], np.int32)]),
+            "fill": int(fill0) + len(stream) - 1,
+            "stamp": self._stamp}
+        self._slot_sid[slot] = r.session
+        while len(self._sessions) > self.max_sessions:
+            self._evict_lru_session()
+        return state
+
+    def _extend_session(self, slot: int, delta: np.ndarray, state,
+                        slot_valid, active):
+        """Run a session delta through cached-extend windows (decode
+        steps for live slots interleave between windows, like chunked
+        admission). Returns (pre, state) with `pre` shaped like a
+        prefill result for the shared insert path."""
+        import jax.numpy as jnp
+        E = self.session_chunk
+        row, valid_row = self._sess_extract(state, slot_valid,
+                                            jnp.asarray(slot))
+        d = len(delta)
+        dp = np.concatenate(
+            [delta, np.zeros(((-d) % E,), np.int32)])
+        emb = self._sess_embed(self.params, jnp.asarray(dp[None]))
+        last = None
+        for k in range(len(dp) // E):
+            n_real = min(E, d - k * E)
+            row, last = self._sess_extend(
+                self.params, emb[:, k * E:(k + 1) * E], row, valid_row,
+                jnp.asarray(n_real, jnp.int32))
+            if active:
+                out = self._slot_step(self.params, state, slot_valid)
+                state = self._dispatch_tokens(out, active, out["state"])
+        first_t, embed, lp = self._sess_finish(self.params, last)
+        pre = {"first": first_t[0], "embed": embed, "logprob": lp,
+               "cache": row, "valid": valid_row}
+        return pre, state
+
     # ---- continuous-batching scheduler (slots.py engine) ----
 
     def _slot_loop(self):
@@ -388,8 +541,36 @@ class ChatService:
             try:
                 while backlog and len(active) < self.slots:
                     r = backlog.pop(0)
-                    slot = next(s for s in range(self.slots)
-                                if s not in active)
+                    ext = (self._session_delta(r)
+                           if r.session is not None
+                           and self.max_sessions > 0 else None)
+                    if ext is not None:
+                        slot, delta, fill_prev = ext
+                        self._evict_session(r.session)
+                        self.stats["session_hits"] += 1
+                        r.session_hit = True
+                        pre, state = self._extend_session(
+                            slot, delta, state, slot_valid, active)
+                        fill0 = fill_prev + len(delta)
+                        state, slot_valid = self._slot_insert(
+                            state, jnp.asarray(slot), pre["first"],
+                            pre["embed"], pre["cache"], pre["valid"],
+                            slot_valid)
+                        state = self._finish_admission(
+                            r, slot, pre, active, state, fill0)
+                        continue
+                    if r.session is not None and self.max_sessions > 0:
+                        self.stats["session_misses"] += 1
+                    free = [s for s in range(self.slots)
+                            if s not in active
+                            and s not in self._slot_sid]
+                    if not free:
+                        freed = self._evict_lru_session()
+                        if freed is None:
+                            backlog.insert(0, r)
+                            break
+                        free = [freed]
+                    slot = free[0]
                     n = len(r.ids)
                     ids = np.zeros((1, L), np.int32)
                     mask = np.zeros((1, L), bool)
@@ -429,8 +610,8 @@ class ChatService:
                             if active:
                                 out = self._slot_step(
                                     self.params, state, slot_valid)
-                                state = out["state"]
-                                self._dispatch_tokens(out, active)
+                                state = self._dispatch_tokens(
+                                    out, active, out["state"])
                         first_t, embed, first_lp_t = self._chunk_finish(
                             self.params, last)
                         pre = {"first": first_t[0], "embed": embed,
@@ -450,27 +631,17 @@ class ChatService:
                         state, jnp.asarray(slot), pre["first"],
                         pre["embed"], pre["cache"], pre["valid"],
                         slot_valid, **ins_kw)
-                    first = int(pre["first"])
-                    first_lp = float(pre.get("logprob", 0.0))
-                    if r.stream_q is not None:
-                        r.stream_q.put(first)
-                    if first == self.eos_id or self.max_new_tokens <= 1:
-                        r.tokens = np.asarray([first], np.int32)
-                        r.logprobs = np.asarray([first_lp], np.float32)
-                        if r.stream_q is not None:
-                            r.stream_q.put(None)
-                        r.event.set()
-                    else:
-                        active[slot] = (r, [first], [first_lp])
+                    state = self._finish_admission(
+                        r, slot, pre, active, state, L)
                 if active:
                     self.stats["scheduler_ticks"] += 1
                     self.stats["occupied_slot_ticks"] += len(active)
                     out = self._slot_step(self.params, state, slot_valid)
-                    state = out["state"]
-                    self._dispatch_tokens(out, active)
+                    state = self._dispatch_tokens(
+                        out, active, out["state"])
             except BaseException as e:              # noqa: BLE001
                 self.stats["errors_total"] += len(active) + len(backlog)
-                for r, _, _ in active.values():
+                for r, *_ in active.values():
                     r.error = e
                     if r.stream_q is not None:
                         r.stream_q.put(None)
@@ -482,15 +653,39 @@ class ChatService:
                     r.event.set()
                 active.clear()
                 backlog.clear()
+                # parked KV lives in the state we just reset
+                self._sessions.clear()
+                self._slot_sid.clear()
                 state, slot_valid = self._slot_init()
 
-    def _dispatch_tokens(self, out, active):
-        """Hand each live slot its new token; finish on EOS/length."""
+    def _finish_admission(self, r, slot, pre, active, state, fill0):
+        """Shared post-insert tail of admission: surface the first
+        token, finish-or-activate; `fill0` is the row fill index right
+        after prefill/extension (needed to park the session later)."""
+        first = int(pre["first"])
+        first_lp = float(pre.get("logprob", 0.0))
+        if r.stream_q is not None:
+            r.stream_q.put(first)
+        if first == self.eos_id or self.max_new_tokens <= 1:
+            r.tokens = np.asarray([first], np.int32)
+            r.logprobs = np.asarray([first_lp], np.float32)
+            state = self._park(r, slot, [first],
+                               first == self.eos_id, state, fill0)
+            if r.stream_q is not None:
+                r.stream_q.put(None)
+            r.event.set()
+        else:
+            active[slot] = (r, [first], [first_lp], fill0)
+        return state
+
+    def _dispatch_tokens(self, out, active, state):
+        """Hand each live slot its new token; finish on EOS/length.
+        Returns the (possibly updated — session parking) slot state."""
         toks = np.asarray(out["token"])
         fins = np.asarray(out["finished"])
         lps = np.asarray(out["logprob"])
         for slot in list(active):
-            r, stream, lstream = active[slot]
+            r, stream, lstream, fill0 = active[slot]
             tok = int(toks[slot])
             stream.append(tok)
             lstream.append(float(lps[slot]))
@@ -499,10 +694,13 @@ class ChatService:
             if fins[slot] or len(stream) >= self.max_new_tokens:
                 r.tokens = np.asarray(stream, np.int32)
                 r.logprobs = np.asarray(lstream, np.float32)
+                del active[slot]
+                state = self._park(r, slot, stream, bool(fins[slot]),
+                                   state, fill0)
                 if r.stream_q is not None:
                     r.stream_q.put(None)
                 r.event.set()
-                del active[slot]
+        return state
 
     # ---- batching dispatcher (single thread owns the TPU) ----
 
@@ -596,6 +794,8 @@ class ChatService:
 
 class _Handler(BaseHTTPRequestHandler):
     service: ChatService = None     # set by serve()
+    predictor = None                # optional infer.Predictor
+    predictor_lock = None           # serializes perception calls
     model_name: str = "visionllm_tpu"
 
     def log_message(self, fmt, *args):   # quiet by default
@@ -619,7 +819,62 @@ class _Handler(BaseHTTPRequestHandler):
         else:
             self._reply(404, {"error": "not found"})
 
+    def _read_image(self, req, required=False):
+        if req.get("image_b64"):
+            raw = base64.b64decode(req["image_b64"])
+            shape = tuple(req["image_shape"])
+            return np.frombuffer(raw, np.uint8).reshape(shape)
+        if required:
+            raise KeyError("image_b64")
+        return None
+
+    def _perception(self, req: dict) -> dict:
+        """POST /v1/{detect,ground,pose} → Predictor, JSON-safe out."""
+        if self.predictor is None:
+            raise ValueError(
+                "perception endpoints need a perception server "
+                "(serve --perception)")
+        p = self.predictor
+        img = self._read_image(req, required=True)
+        with self.predictor_lock:
+            if self.path == "/v1/detect":
+                out = p.detect(img, [str(c) for c in req["classes"]],
+                               threshold=float(req.get("threshold", 0.3)),
+                               topk=int(req.get("topk", 100)),
+                               with_mask=bool(req.get("with_mask")))
+            elif self.path == "/v1/ground":
+                out = p.ground(img, str(req["expression"]),
+                               with_mask=bool(req.get("with_mask")))
+            else:
+                out = p.pose(img,
+                             keypoint_names=req.get("keypoint_names"),
+                             threshold=float(req.get("threshold", 0.3)),
+                             topk=int(req.get("topk", 20)))
+        res = {}
+        for k, v in out.items():
+            if k in ("masks", "mask"):
+                from visionllm_tpu.ops.rle import rle_encode
+                res[k] = ([rle_encode(m) for m in v]
+                          if k == "masks" else rle_encode(v))
+            elif isinstance(v, np.ndarray):
+                res[k] = np.round(v.astype(np.float64), 5).tolist()
+            else:
+                res[k] = v
+        return res
+
     def do_POST(self):
+        try:
+            if self.path in ("/v1/detect", "/v1/ground", "/v1/pose"):
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                self._reply(200, self._perception(req))
+                return
+        except (KeyError, ValueError, TypeError) as e:
+            self._reply(400, {"error": f"bad request: {e}"})
+            return
+        except Exception as e:                          # noqa: BLE001
+            self._reply(500, {"error": str(e)[:500]})
+            return
         if self.path != "/v1/generate":
             self._reply(404, {"error": "not found"})
             return
@@ -627,11 +882,7 @@ class _Handler(BaseHTTPRequestHandler):
             n = int(self.headers.get("Content-Length", 0))
             req = json.loads(self.rfile.read(n) or b"{}")
             prompt = req["prompt"]
-            image = None
-            if req.get("image_b64"):
-                raw = base64.b64decode(req["image_b64"])
-                shape = tuple(req["image_shape"])
-                image = np.frombuffer(raw, np.uint8).reshape(shape)
+            image = self._read_image(req)
             if req.get("stream"):
                 # validation (mode, sampling flags, history) happens
                 # before any header goes out, so bad requests are real
@@ -641,7 +892,8 @@ class _Handler(BaseHTTPRequestHandler):
                     max_new_tokens=req.get("max_new_tokens"),
                     temperature=float(req.get("temperature", 0.0)),
                     top_p=float(req.get("top_p", 1.0)),
-                    seed=req.get("seed"))
+                    seed=req.get("seed"),
+                    session=req.get("session"))
                 # server-sent events: one data frame per text delta
                 self.send_response(200)
                 self.send_header("Content-Type", "text/event-stream")
@@ -664,7 +916,8 @@ class _Handler(BaseHTTPRequestHandler):
                 temperature=float(req.get("temperature", 0.0)),
                 top_p=float(req.get("top_p", 1.0)),
                 seed=req.get("seed"),
-                logprobs=bool(req.get("logprobs")))
+                logprobs=bool(req.get("logprobs")),
+                session=req.get("session"))
             self._reply(200, out)
         except (KeyError, ValueError, TypeError) as e:
             self._reply(400, {"error": f"bad request: {e}"})
@@ -675,19 +928,23 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def make_server(service: ChatService, host: str = "127.0.0.1",
-                port: int = 8000, model_name: str = "visionllm_tpu"
-                ) -> ThreadingHTTPServer:
+                port: int = 8000, model_name: str = "visionllm_tpu",
+                predictor=None) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server — tests drive this."""
     handler = type("Handler", (_Handler,),
-                   {"service": service, "model_name": model_name})
+                   {"service": service, "model_name": model_name,
+                    "predictor": predictor,
+                    "predictor_lock": threading.Lock()})
     return ThreadingHTTPServer((host, port), handler)
 
 
 def serve(service: ChatService, host: str = "0.0.0.0", port: int = 8000,
-          model_name: str = "visionllm_tpu") -> None:
-    srv = make_server(service, host, port, model_name)
+          model_name: str = "visionllm_tpu", predictor=None) -> None:
+    srv = make_server(service, host, port, model_name, predictor)
     print(f"serving {model_name} on http://{host}:{port} "
-          f"(POST /v1/generate, GET /healthz)")
+          f"(POST /v1/generate"
+          + (", /v1/detect, /v1/ground, /v1/pose" if predictor else "")
+          + ", GET /healthz)")
     try:
         srv.serve_forever()
     except KeyboardInterrupt:

@@ -290,6 +290,100 @@ def build_slot_fns(
             jax.jit(step, donate_argnums=(1,)))
 
 
+def build_session_fns(model: VisionLLM):
+    """Session (multi-turn prefix) KV reuse for continuous batching —
+    the vLLM "prefix caching" idea restricted to the exact
+    previous-conversation prefix.
+
+    A finished chat turn's slot KV is PARKED instead of freed; the
+    follow-up turn runs only its NEW tokens (the delta after the cached
+    prefix) through the cached-extend LLM window, skipping the
+    re-prefill of the whole conversation — including the vision encode,
+    whose K/V are already in the cache.
+
+    Exactness: the delta window is right-padded to the host's chosen
+    window width (`ChatService(session_chunk=...)`); after
+    each window the row's fill index is rolled BACK over the pads, so
+    the next write overwrites their garbage K/V before any position
+    above the fill index ever becomes attendable (`llama.py` decode
+    bias: j <= cache.index), and positions stay gap-free. Extension is
+    therefore the same computation as prefilling the full history
+    (tests/test_sessions.py asserts token-identical streams).
+
+    Returns (extract_row, embed_delta, extend_window, finish, kill):
+      * extract_row(state, slot_valid, slot) -> (row_cache, valid_row)
+        — copy a parked slot's cache out of the multi-slot state;
+      * embed_delta(params, ids [1, E]) — plain token embeddings (the
+        host guards that the delta has no image/region/[EMB] tokens,
+        which would need the prompt-assembly splices);
+      * extend_window(params, emb [1, W, C], row_cache, valid_row,
+        n_real) -> (row_cache', last_logits [1, V]) — one window;
+        `last_logits` is row n_real-1 (the last REAL token);
+      * finish(params, last_logits) -> (first [1], embed, logprob);
+      * kill(state, slot) — mark a slot dead on device so a parked
+        (host-finished but length-stopped) slot stops advancing.
+
+    The reference serves nothing (SURVEY §1: no serving layer); this is
+    a production-serving capability extension.
+    """
+    cfg = model.cfg
+    if getattr(cfg.llm, "kv_quant", "") == "int8":
+        raise ValueError(
+            "session reuse requires an exact (non-quantized) KV cache: "
+            "the extend window reads the cache back, and int8 "
+            "requantization would drift from monolithic prefill")
+
+    def extract_row(state: SlotState, slot_valid: jnp.ndarray,
+                    slot: jnp.ndarray):
+        c = state.cache
+        nl, _, L, H, D = c.k.shape
+        k = jax.lax.dynamic_slice(c.k, (0, slot, 0, 0, 0),
+                                  (nl, 1, L, H, D))
+        v = jax.lax.dynamic_slice(c.v, (0, slot, 0, 0, 0),
+                                  (nl, 1, L, H, D))
+        idx = jax.lax.dynamic_index_in_dim(c.index, slot, keepdims=False)
+        row = KVCache(k=k, v=v, index=idx, k_scale=None, v_scale=None)
+        valid = jax.lax.dynamic_slice(
+            slot_valid, (slot, 0), (1, slot_valid.shape[1]))[0]
+        return row, valid
+
+    def embed_delta(params, delta_ids: jnp.ndarray):
+        return model.apply({"params": params}, delta_ids,
+                           method=VisionLLM.embed_tokens)
+
+    def extend_window(params, emb_chunk: jnp.ndarray,
+                      cache_row: KVCache, valid_row: jnp.ndarray,
+                      n_real: jnp.ndarray):
+        pos = (cache_row.index
+               + jnp.arange(emb_chunk.shape[1]))[None].astype(jnp.int32)
+        out = model.apply({"params": params},
+                          emb_chunk.astype(model.dtype), pos, cache_row,
+                          valid_row[None], method=VisionLLM.llm_window)
+        cache = out["cache"]
+        # roll the fill index back over the window's right-pads: their
+        # garbage K/V sit above the rolled-back index and are
+        # overwritten by the next write before becoming attendable
+        cache = cache.replace(
+            index=cache.index - (emb_chunk.shape[1] - n_real))
+        last = jax.lax.dynamic_slice_in_dim(
+            out["logits"], n_real - 1, 1, axis=1)[:, 0]
+        return cache, last
+
+    def finish(params, last_logits: jnp.ndarray):
+        from visionllm_tpu.generation import _token_logprob
+        first = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
+        embed = model.apply({"params": params}, first[:, None],
+                            method=VisionLLM.embed_tokens)
+        return first, embed, _token_logprob(last_logits, first)[0]
+
+    def kill(state: SlotState, slot: jnp.ndarray) -> SlotState:
+        return state.replace(live=state.live.at[slot].set(False))
+
+    return (jax.jit(extract_row), jax.jit(embed_delta),
+            jax.jit(extend_window, donate_argnums=(2,)),
+            jax.jit(finish), jax.jit(kill, donate_argnums=(0,)))
+
+
 def build_chunked_prefill_fns(
     model: VisionLLM,
     tid: SpecialTokenIds,
