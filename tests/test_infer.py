@@ -21,13 +21,7 @@ from visionllm_tpu.models.composite import VisionLLMWithTools
 from visionllm_tpu.models.visionllm import SpecialTokenIds
 
 
-def _merge(a, b):
-    """Recursive param-dict union (det-init ∪ pose-init)."""
-    out = dict(a)
-    for k, v in b.items():
-        out[k] = _merge(out[k], v) if (
-            k in out and isinstance(v, dict)) else out.get(k, v)
-    return out
+from visionllm_tpu.utils.checkpoint import merge_param_trees as _merge
 
 
 @pytest.fixture(scope="module")

@@ -22,12 +22,7 @@ from visionllm_tpu.ops.rle import rle_decode
 from visionllm_tpu.serve import ChatService, make_server
 
 
-def _merge(a, b):
-    out = dict(a)
-    for k, v in b.items():
-        out[k] = _merge(out[k], v) if (
-            k in out and isinstance(v, dict)) else out.get(k, v)
-    return out
+from visionllm_tpu.utils.checkpoint import merge_param_trees as _merge
 
 
 @pytest.fixture(scope="module")

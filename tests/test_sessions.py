@@ -283,3 +283,41 @@ def test_concurrent_sessions_dont_cross(svc):
     want_b = svc.generate("beta next", history=hist_b)
     assert outs["a"]["text"] == want_a["text"]
     assert outs["b"]["text"] == want_b["text"]
+
+
+def test_session_image_swap_falls_back(svc):
+    """Same history, different image pixels: ids alone can't tell the
+    images apart (the <image> placeholder expands identically), so the
+    parked entry's pixel fingerprint must force a full prefill."""
+    img_a = np.random.RandomState(11).randint(0, 255, (40, 56, 3),
+                                              np.uint8)
+    img_b = np.random.RandomState(12).randint(0, 255, (40, 56, 3),
+                                              np.uint8)
+    r1 = svc.generate("look at this", image=img_a, session="im1")
+    hist = ["look at this", r1["text"]]
+    want = svc.generate("what now", image=img_b, history=hist)
+    got = svc.generate("what now", image=img_b, history=hist,
+                       session="im1")
+    assert got["session_reused"] is False
+    assert got["text"] == want["text"]
+    # the re-parked session (img_b) hits again on the next turn
+    hist2 = hist + ["what now", got["text"]]
+    again = svc.generate("go on", image=img_b, history=hist2,
+                         session="im1")
+    assert again["session_reused"] is True
+
+
+def test_session_padded_overflow_falls_back(svc):
+    """The room check must budget the delta right-padded to
+    session_chunk — an overrun would be clamped by dynamic_update_slice
+    and silently corrupt cached K/V, so it must miss instead."""
+    r1 = svc.generate("grow me", session="of1")
+    ent = svc._sessions["of1"]
+    # fabricate a fill level where delta(+response) fits un-padded but
+    # the chunk-padded last window would overrun the KV buffer
+    E = svc.session_chunk
+    hist = ["grow me", r1["text"]]
+    # a follow-up delta of a few tokens pads to one full E window
+    ent["fill"] = svc.slot_max_len - E + 1
+    got = svc.generate("hm", history=hist, session="of1")
+    assert got["session_reused"] is False  # guard forced the miss

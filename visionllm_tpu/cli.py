@@ -57,15 +57,6 @@ def _load_model_and_params(args, tiny: bool = False):
     return cfg, model, params, tokenizer, tid
 
 
-def _merge_params(a, b):
-    """Recursive param-dict union (det-init ∪ pose-init trees)."""
-    out = dict(a)
-    for k, v in b.items():
-        out[k] = _merge_params(out[k], v) if (
-            k in out and isinstance(v, dict)) else out.get(k, v)
-    return out
-
-
 def _build_core_generate(cfg, params, tid, tiny, max_new_tokens, tok):
     """Jitted emb-countdown generate over the composite core; random
     params if no checkpoint (smoke runs). Init includes a region so the
@@ -445,10 +436,12 @@ def main(argv=None):
                     *init_args, pixel_mask=arr["pixel_mask"],
                     method=VisionLLMWithTools.infer_det)["params"]
                 if cfg.use_unipose:
+                    from visionllm_tpu.utils.checkpoint import (
+                        merge_param_trees)
                     pose_p = predictor.model.init(
                         *init_args, 1, pixel_mask=arr["pixel_mask"],
                         method=VisionLLMWithTools.infer_pose)["params"]
-                    p = _merge_params(p, pose_p)
+                    p = merge_param_trees(p, pose_p)
                 predictor.params = p
         serve(svc, args.host, args.port, predictor=predictor)
     elif args.cmd == "train":

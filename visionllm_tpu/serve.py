@@ -52,6 +52,16 @@ class Overloaded(RuntimeError):
     """Request queue is full — callers should retry later (HTTP 503)."""
 
 
+def _image_key(image: Optional[np.ndarray]) -> Optional[str]:
+    """Fingerprint of the preprocessed image pixels — session reuse must
+    fall back when the same conversation arrives with a swapped image."""
+    if image is None:
+        return None
+    import hashlib
+    return hashlib.sha1(
+        np.ascontiguousarray(image).tobytes()).hexdigest()
+
+
 def _eos_or_default(tokenizer) -> int:
     """eos token id, defaulting to 2 only when the tokenizer has NONE
     (a plain `or 2` would remap a legitimate id of 0)."""
@@ -423,22 +433,32 @@ class ChatService:
         for its sid and return None. Reuse requires the new
         conversation's token ids to start with the EXACT cached prefix
         (prompt + previously generated tokens whose K/V are in the
-        slot), a delta free of image/region/[EMB] tokens (those need
-        the prompt-assembly splices, not plain embeddings), and room in
-        the KV buffer for delta + a full response."""
+        slot), the SAME image pixels (the <image> placeholder expands
+        to identical ids for any pixels, so ids alone can't detect a
+        swapped image whose vision KV reuse would skip), a delta free
+        of image/region/[EMB] tokens (those need the prompt-assembly
+        splices, not plain embeddings), and room in the KV buffer for
+        the chunk-padded delta + a full response."""
         ent = self._sessions.get(r.session)
         if ent is None:
             return None
         cached, ids = ent["ids"], np.asarray(r.ids, np.int32)
         ok = (len(ids) > len(cached)
-              and bool(np.array_equal(ids[:len(cached)], cached)))
+              and bool(np.array_equal(ids[:len(cached)], cached))
+              and ent["img"] == _image_key(r.image))
         if ok:
             delta = ids[len(cached):]
             guard = {self.tid.img, self.tid.imp, self.tid.reg} | set(
                 range(self.tid.emb, self.tid.emb + 8))
             ok = not any(int(t) in guard for t in delta)
         if ok:
-            ok = (ent["fill"] + len(delta) + self.max_new_tokens + 1
+            # the last extend window writes the delta right-padded to
+            # session_chunk — an overrun would be CLAMPED by
+            # dynamic_update_slice and silently shift over history
+            E = self.session_chunk
+            padded = -(-len(delta) // E) * E
+            ok = (ent["fill"]
+                  + max(padded, len(delta) + self.max_new_tokens + 1)
                   <= self.slot_max_len)
         if not ok:
             self._evict_session(r.session)
@@ -479,6 +499,7 @@ class ChatService:
             "slot": slot,
             "ids": np.concatenate([np.asarray(r.ids, np.int32),
                                    np.asarray(stream[:-1], np.int32)]),
+            "img": _image_key(r.image),
             "fill": int(fill0) + len(stream) - 1,
             "stamp": self._stamp}
         self._slot_sid[slot] = r.session
@@ -499,12 +520,16 @@ class ChatService:
         d = len(delta)
         dp = np.concatenate(
             [delta, np.zeros(((-d) % E,), np.int32)])
-        emb = self._sess_embed(self.params, jnp.asarray(dp[None]))
         last = None
         for k in range(len(dp) // E):
+            # embed per fixed-width window (not the whole ragged delta)
+            # so the server compiles ONE embed program, not one per
+            # distinct padded delta length
+            emb = self._sess_embed(
+                self.params, jnp.asarray(dp[None, k * E:(k + 1) * E]))
             n_real = min(E, d - k * E)
             row, last = self._sess_extend(
-                self.params, emb[:, k * E:(k + 1) * E], row, valid_row,
+                self.params, emb, row, valid_row,
                 jnp.asarray(n_real, jnp.int32))
             if active:
                 out = self._slot_step(self.params, state, slot_valid)
@@ -796,6 +821,7 @@ class _Handler(BaseHTTPRequestHandler):
     service: ChatService = None     # set by serve()
     predictor = None                # optional infer.Predictor
     predictor_lock = None           # serializes perception calls
+    predictor_sem = None            # bounds waiting perception requests
     model_name: str = "visionllm_tpu"
 
     def log_message(self, fmt, *args):   # quiet by default
@@ -836,6 +862,16 @@ class _Handler(BaseHTTPRequestHandler):
                 "(serve --perception)")
         p = self.predictor
         img = self._read_image(req, required=True)
+        # bounded concurrency: at most N waiting+running perception
+        # requests (same shed-don't-queue policy as /v1/generate)
+        if not self.predictor_sem.acquire(blocking=False):
+            raise Overloaded("perception queue full")
+        try:
+            return self._perception_locked(req, p, img)
+        finally:
+            self.predictor_sem.release()
+
+    def _perception_locked(self, req: dict, p, img) -> dict:
         with self.predictor_lock:
             if self.path == "/v1/detect":
                 out = p.detect(img, [str(c) for c in req["classes"]],
@@ -857,7 +893,9 @@ class _Handler(BaseHTTPRequestHandler):
                 res[k] = ([rle_encode(m) for m in v]
                           if k == "masks" else rle_encode(v))
             elif isinstance(v, np.ndarray):
-                res[k] = np.round(v.astype(np.float64), 5).tolist()
+                res[k] = (v.tolist()
+                          if np.issubdtype(v.dtype, np.integer)
+                          else np.round(v.astype(np.float64), 5).tolist())
             else:
                 res[k] = v
         return res
@@ -871,6 +909,9 @@ class _Handler(BaseHTTPRequestHandler):
                 return
         except (KeyError, ValueError, TypeError) as e:
             self._reply(400, {"error": f"bad request: {e}"})
+            return
+        except Overloaded as e:
+            self._reply(503, {"error": str(e), "retry": True})
             return
         except Exception as e:                          # noqa: BLE001
             self._reply(500, {"error": str(e)[:500]})
@@ -934,7 +975,8 @@ def make_server(service: ChatService, host: str = "127.0.0.1",
     handler = type("Handler", (_Handler,),
                    {"service": service, "model_name": model_name,
                     "predictor": predictor,
-                    "predictor_lock": threading.Lock()})
+                    "predictor_lock": threading.Lock(),
+                    "predictor_sem": threading.BoundedSemaphore(32)})
     return ThreadingHTTPServer((host, port), handler)
 
 

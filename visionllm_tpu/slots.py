@@ -290,6 +290,30 @@ def build_slot_fns(
             jax.jit(step, donate_argnums=(1,)))
 
 
+def _llm_window(model: VisionLLM, params, emb_chunk: jnp.ndarray,
+                cache_row: KVCache, valid_row: jnp.ndarray):
+    """One cached-extend LLM window (shared by chunked prefill, session
+    extension): positions continue from the row's fill index."""
+    pos = (cache_row.index
+           + jnp.arange(emb_chunk.shape[1]))[None].astype(jnp.int32)
+    return model.apply({"params": params}, emb_chunk, pos, cache_row,
+                       valid_row[None], method=VisionLLM.llm_window)
+
+
+def _greedy_finish(model: VisionLLM):
+    """(params, last_logits) -> (first_token [1], its embed, logprob) —
+    the shared admission tail after the last prefill/extend window."""
+
+    def finish(params, last_logits):
+        from visionllm_tpu.generation import _token_logprob
+        first = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
+        embed = model.apply({"params": params}, first[:, None],
+                            method=VisionLLM.embed_tokens)
+        return first, embed, _token_logprob(last_logits, first)[0]
+
+    return finish
+
+
 def build_session_fns(model: VisionLLM):
     """Session (multi-turn prefix) KV reuse for continuous batching —
     the vLLM "prefix caching" idea restricted to the exact
@@ -354,11 +378,8 @@ def build_session_fns(model: VisionLLM):
     def extend_window(params, emb_chunk: jnp.ndarray,
                       cache_row: KVCache, valid_row: jnp.ndarray,
                       n_real: jnp.ndarray):
-        pos = (cache_row.index
-               + jnp.arange(emb_chunk.shape[1]))[None].astype(jnp.int32)
-        out = model.apply({"params": params},
-                          emb_chunk.astype(model.dtype), pos, cache_row,
-                          valid_row[None], method=VisionLLM.llm_window)
+        out = _llm_window(model, params, emb_chunk.astype(model.dtype),
+                          cache_row, valid_row)
         cache = out["cache"]
         # roll the fill index back over the window's right-pads: their
         # garbage K/V sit above the rolled-back index and are
@@ -369,12 +390,7 @@ def build_session_fns(model: VisionLLM):
             out["logits"], n_real - 1, 1, axis=1)[:, 0]
         return cache, last
 
-    def finish(params, last_logits: jnp.ndarray):
-        from visionllm_tpu.generation import _token_logprob
-        first = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
-        embed = model.apply({"params": params}, first[:, None],
-                            method=VisionLLM.embed_tokens)
-        return first, embed, _token_logprob(last_logits, first)[0]
+    finish = _greedy_finish(model)
 
     def kill(state: SlotState, slot: jnp.ndarray) -> SlotState:
         return state.replace(live=state.live.at[slot].set(False))
@@ -429,18 +445,10 @@ def build_chunked_prefill_fns(
 
     def prefill_chunk(params, emb_chunk, cache_row: KVCache,
                       valid_row: jnp.ndarray):
-        pos = (cache_row.index
-               + jnp.arange(emb_chunk.shape[1]))[None].astype(jnp.int32)
-        out = model.apply({"params": params}, emb_chunk, pos, cache_row,
-                          valid_row[None], method=VisionLLM.llm_window)
+        out = _llm_window(model, params, emb_chunk, cache_row, valid_row)
         return out["cache"], out["logits"][:, -1]
 
-    def finish(params, last_logits):
-        from visionllm_tpu.generation import _token_logprob
-        first = jnp.argmax(last_logits, axis=-1).astype(jnp.int32)
-        embed = model.apply({"params": params}, first[:, None],
-                            method=VisionLLM.embed_tokens)
-        return first, embed, _token_logprob(last_logits, first)[0]
+    finish = _greedy_finish(model)
 
     return (new_row_cache, jax.jit(embed_prompt),
             jax.jit(prefill_chunk, donate_argnums=(2,)),

@@ -76,3 +76,14 @@ def load_params_npz(path: str) -> Any:
             d = d.setdefault(p, {})
         d[parts[-1]] = flat[name]
     return root
+
+
+def merge_param_trees(a: Any, b: Any) -> Any:
+    """Recursive param-dict union — e.g. an infer_det-initialized tree ∪
+    an infer_pose-initialized tree of the same composite model (shared
+    modules taken from `a`, tool branches from whichever has them)."""
+    out = dict(a)
+    for k, v in b.items():
+        out[k] = merge_param_trees(out[k], v) if (
+            k in out and isinstance(v, dict)) else out.get(k, v)
+    return out
