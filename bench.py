@@ -74,24 +74,61 @@ def left() -> float:
     return BUDGET["s"] - (time.time() - T0)
 
 
+# > the ~400 s worst observed relay first call (env override for tests)
+PROBE_TIMEOUT_S = float(os.environ.get("BENCH_PROBE_TIMEOUT_S", 420.0))
+
+
 def probe_backend():
-    """Fail fast on backend unavailability: 3 retries, then CPU."""
+    """Fail fast on backend unavailability: 3 retries, then CPU.
+
+    Two failure modes: a dead relay RAISES (caught + retried below); a
+    WEDGED relay HANGS inside backend init with nothing to catch
+    (observed: jax.devices() blocking >20 min while the chip grant
+    never arrives). The first device touch therefore runs on a daemon
+    thread with a hard deadline — if it never comes back, re-exec the
+    whole bench with JAX_PLATFORMS=cpu (backend state in this process
+    is unrecoverable once init has blocked) so the driver still gets
+    measured numbers instead of the watchdog's zero line."""
+    import threading
+
     import jax
     import jax.numpy as jnp
+    if os.environ.get("BENCH_RELAY_WEDGED"):
+        # re-exec'd after a wedged relay: demote BEFORE the first
+        # backend touch. Must go through jax.config — the environment's
+        # sitecustomize re-pins JAX_PLATFORMS=axon at interpreter start,
+        # so the env var alone cannot survive the re-exec.
+        jax.config.update("jax_platforms", "cpu")
     last = None
     for attempt in range(3):
-        try:
-            x = jnp.ones((128, 128), jnp.bfloat16)
-            jax.block_until_ready(x @ x)
-            return jax.devices()[0].platform, None
-        except Exception as e:                      # noqa: BLE001
-            last = e
-            log(f"backend probe failed (attempt {attempt + 1}): "
-                f"{str(e)[:200]}")
-            time.sleep(5)
+        res = {}
+
+        def _touch():
+            try:
+                x = jnp.ones((128, 128), jnp.bfloat16)
+                jax.block_until_ready(x @ x)
+                res["platform"] = jax.devices()[0].platform
+            except Exception as e:                  # noqa: BLE001
+                res["error"] = str(e)[:300]
+
+        th = threading.Thread(target=_touch, daemon=True)
+        th.start()
+        th.join(PROBE_TIMEOUT_S)
+        if th.is_alive():
+            if os.environ.get("BENCH_RELAY_WEDGED"):
+                return None, "cpu backend probe wedged"
+            log(f"backend probe wedged >{PROBE_TIMEOUT_S:.0f}s "
+                "(relay holds no grant) — re-exec on CPU")
+            os.environ["BENCH_RELAY_WEDGED"] = "1"
+            sys.stderr.flush()
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        if "platform" in res:
+            return res["platform"], None
+        last = res.get("error")
+        log(f"backend probe failed (attempt {attempt + 1}): {last}")
+        time.sleep(5)
     try:
         jax.config.update("jax_platforms", "cpu")
-        import jax.numpy as jnp
         x = jnp.ones((8, 8))
         jax.block_until_ready(x @ x)
         return "cpu-fallback", str(last)[:300]
@@ -186,6 +223,8 @@ def main():
         result["device"] = platform
         if err:
             result["backend_note"] = err
+        if os.environ.get("BENCH_RELAY_WEDGED"):
+            result["relay_wedged"] = True
         log(f"backend: {platform}")
 
         import jax.numpy as jnp

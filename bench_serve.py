@@ -40,7 +40,10 @@ T0 = time.time()
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="batch",
-                    choices=["plain", "batch", "slots", "spec"])
+                    choices=["plain", "batch", "slots", "spec",
+                             "sessions"])
+    ap.add_argument("--turns", type=int, default=3,
+                    help="sessions mode: conversation turns per session")
     ap.add_argument("--max-batch", type=int, default=8)
     ap.add_argument("--slots", type=int, default=8)
     ap.add_argument("--spec-k", type=int, default=7)
@@ -79,7 +82,8 @@ def main():
 
     from visionllm_tpu.config import tiny_test_config, vllm_7b_config
     from visionllm_tpu.serve import ChatService, make_server
-    from visionllm_tpu.utils.simple_tokenizer import MockTokenizer
+    from visionllm_tpu.utils.simple_tokenizer import (MockTokenizer,
+                                                      RoundTripTokenizer)
 
     if args.tiny:
         cfg = tiny_test_config(use_gdino=False, use_unipose=False,
@@ -92,12 +96,18 @@ def main():
             cfg, use_gdino=False, use_unipose=False, use_sd=False,
             use_ip2p=False, use_region_encoder=False,
             llm=dataclasses.replace(cfg.llm, quant=args.quant))
-    tok = MockTokenizer()
+    # sessions mode re-renders each turn's history back into ids; the
+    # cached-prefix match needs generated ids to survive the text round
+    # trip (a real subword tokenizer does; the word-level mock doesn't)
+    tok = RoundTripTokenizer() if args.mode == "sessions" \
+        else MockTokenizer()
     mode_kw = {}
     if args.mode == "batch":
         mode_kw = dict(max_batch=args.max_batch, batch_window_ms=30.0)
     elif args.mode == "slots":
         mode_kw = dict(slots=args.slots)
+    elif args.mode == "sessions":
+        mode_kw = dict(slots=args.slots, sessions=args.slots)
     elif args.mode == "spec":
         mode_kw = dict(spec_k=args.spec_k)
     dtype = jnp.float32 if args.tiny else jnp.bfloat16
@@ -166,6 +176,85 @@ def main():
     post({"prompt": prompts[0], **img_body})
     post({"prompt": prompts[1]})
     log(f"warm (compiles) {time.time()-t:.1f}s")
+
+    if args.mode == "sessions":
+        # multi-turn conversations: same workload with and without
+        # session KV reuse; turn>=2 latency compares extend-only
+        # prefill against full-history re-prefill
+        turns = max(2, args.turns)
+        n_sess = max(1, args.requests // turns)
+
+        def run_convs(use_sessions, tag):
+            rows = []        # (turn_idx, dt, reused)
+            lk = threading.Lock()
+            it2 = iter(range(n_sess))
+
+            def sworker():
+                while True:
+                    with lk:
+                        try:
+                            s = next(it2)
+                        except StopIteration:
+                            return
+                    hist = []
+                    for ti in range(turns):
+                        body = {"prompt":
+                                f"{prompts[ti % len(prompts)]} v{ti}",
+                                **img_body}
+                        if hist:
+                            body["history"] = hist
+                        if use_sessions:
+                            body["session"] = f"{tag}{s}"
+                        t0 = time.perf_counter()
+                        out = post(body)
+                        dt = time.perf_counter() - t0
+                        with lk:
+                            rows.append((ti, dt,
+                                         bool(out.get("session_reused"))))
+                        hist = hist + [body["prompt"], out["text"]]
+
+            ths = [threading.Thread(target=sworker)
+                   for _ in range(min(args.concurrency, n_sess))]
+            t0 = time.perf_counter()
+            for th in ths:
+                th.start()
+            for th in ths:
+                th.join()
+            return rows, time.perf_counter() - t0
+
+        reuse_rows, reuse_wall = run_convs(True, "r")
+        full_rows, full_wall = run_convs(False, "f")
+
+        def p50(xs):
+            xs = sorted(xs)
+            return round(xs[len(xs) // 2], 3) if xs else None
+
+        reuse_lat = [dt for ti, dt, _ in reuse_rows if ti > 0]
+        full_lat = [dt for ti, dt, _ in full_rows if ti > 0]
+        hits = sum(r for ti, _, r in reuse_rows if ti > 0)
+        result = {
+            "metric": "serve_sessions_turn_latency_speedup",
+            "value": round(p50(full_lat) / p50(reuse_lat), 3)
+            if reuse_lat and full_lat else 0.0,
+            "unit": "x (p50 turn>=2, full-prefill / session-extend)",
+            "mode": "sessions",
+            "sessions": n_sess,
+            "turns": turns,
+            "session_hits": hits,
+            "session_hit_rate": round(hits / max(len(reuse_lat), 1), 3),
+            "turn_latency_p50_reuse_s": p50(reuse_lat),
+            "turn_latency_p50_full_s": p50(full_lat),
+            "wall_reuse_s": round(reuse_wall, 2),
+            "wall_full_s": round(full_wall, 2),
+            "max_new_tokens": args.max_new_tokens,
+            "quant": args.quant if not args.tiny else "",
+            "device": jax.devices()[0].platform,
+        }
+        print(json.dumps(result), flush=True)
+        with open("bench_serve.json", "w") as f:
+            json.dump(result, f)
+        srv.shutdown()
+        return
 
     lat = []
     tokens = []

@@ -29,29 +29,7 @@ MAX_LEN = 192
 CHUNK = 8
 
 
-class RoundTripTokenizer(MockTokenizer):
-    """Mock tokenizer whose decode→encode round-trips for ANY id: ids
-    without a vocab word render as "tN" and encode back to N. Needed
-    because session reuse matches the re-rendered history against the
-    cached token prefix — the word-level mock maps unknown (sampled)
-    ids to a shared "<unk>", which can never match."""
-
-    def decode(self, ids, skip_special_tokens=False, **kw):
-        rev = {v: k for k, v in self.vocab.items()}
-        out = []
-        for i in ids:
-            i = int(i)
-            special = i < 4 or i >= 32000
-            if special and skip_special_tokens:
-                continue
-            name = rev.get(i)
-            out.append(name if name is not None else f"t{i}")
-        return " ".join(out)
-
-    def _word_id(self, w):
-        if len(w) > 1 and w[0] == "t" and w[1:].isdigit():
-            return int(w[1:])
-        return super()._word_id(w)
+from visionllm_tpu.utils.simple_tokenizer import RoundTripTokenizer
 
 
 # ---------------------------------------------------------------- #

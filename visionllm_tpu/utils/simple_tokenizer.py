@@ -76,5 +76,31 @@ class SimpleTokenizer:
         return " ".join(rev.get(int(i), "<unk>") for i in ids)
 
 
+class RoundTripTokenizer(SimpleTokenizer):
+    """SimpleTokenizer whose decode→encode round-trips for ANY id: ids
+    without a vocab word render as "tN" and encode back to N. Session
+    KV reuse matches the re-rendered history against the cached token
+    prefix, so smoke/bench runs of multi-turn serving need generated
+    (random-logit) ids to survive the text round trip — the plain
+    word-level mock maps them all to one "<unk>", which never matches."""
+
+    def decode(self, ids, skip_special_tokens=False, **kw):
+        rev = {v: k for k, v in self.vocab.items()}
+        out = []
+        for i in ids:
+            i = int(i)
+            special = i < 4 or i >= 32000
+            if special and skip_special_tokens:
+                continue
+            name = rev.get(i)
+            out.append(name if name is not None else f"t{i}")
+        return " ".join(out)
+
+    def _word_id(self, w: str) -> int:
+        if len(w) > 1 and w[0] == "t" and w[1:].isdigit():
+            return int(w[1:])
+        return super()._word_id(w)
+
+
 # test-facing alias
 MockTokenizer = SimpleTokenizer
