@@ -247,6 +247,9 @@ def main(argv=None):
                     help="override the per-slot KV buffer length "
                          "(multi-turn sessions grow past "
                          "max_prompt+max_new_tokens)")
+    sv.add_argument("--max-regions", type=int, default=8,
+                    help="max visual-prompt regions per request "
+                         "(region_boxes/region_masks in /v1/generate)")
     sv.add_argument("--perception", action="store_true",
                     help="also serve the perception endpoints "
                          "(POST /v1/detect, /v1/ground, /v1/pose) via "
@@ -402,20 +405,24 @@ def main(argv=None):
             slots=args.slots, prefill_chunk=args.prefill_chunk,
             sampling=args.sampling, max_queue=args.max_queue,
             sessions=args.sessions, session_chunk=args.session_chunk,
-            max_ctx=args.max_ctx,
+            max_ctx=args.max_ctx, max_regions=args.max_regions,
             dtype=jnp.float32 if args.tiny else jnp.bfloat16)
         if params is not None:
             svc.params = params["core"] if "core" in params else params
         else:
-            # random-init smoke serving (no checkpoint)
+            # random-init smoke serving (no checkpoint); the probe
+            # prompt includes a <region> token so RegionEncoder params
+            # exist if region-prompted requests arrive
             size = cfg.vis_encoder.image_size
             img_len = (size // 14) ** 2
-            ids = jnp.asarray([[1] + [svc.tid.imp] * img_len + [5]],
-                              jnp.int32)
+            ids = jnp.asarray([[1] + [svc.tid.imp] * img_len
+                               + [svc.tid.reg, 5]], jnp.int32)
+            regions = (jnp.ones((1, 1, size, size), jnp.float32)
+                       if cfg.use_region_encoder else None)
             svc.params = svc.core.init(
                 jax.random.PRNGKey(0), ids,
                 jnp.zeros((1, size, size, 3), jnp.float32),
-                svc.tid)["params"]
+                svc.tid, regions=regions)["params"]
         predictor = None
         if args.perception:
             import numpy as np

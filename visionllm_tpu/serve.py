@@ -72,14 +72,16 @@ def _eos_or_default(tokenizer) -> int:
 class _Request:
     __slots__ = ("ids", "image", "event", "tokens", "error", "stream_q",
                  "temperature", "top_p", "seed", "logprobs", "session",
-                 "session_hit")
+                 "session_hit", "regions")
 
     def __init__(self, ids: np.ndarray, image: Optional[np.ndarray],
                  temperature: float = 0.0, top_p: float = 1.0,
                  seed: Optional[int] = None,
-                 session: Optional[str] = None):
+                 session: Optional[str] = None,
+                 regions: Optional[np.ndarray] = None):
         self.session = session       # session id for KV reuse (slots)
         self.session_hit = False     # set by the scheduler on reuse
+        self.regions = regions       # [R_max, S, S] padded masks or None
         self.ids = ids
         self.image = image           # preprocessed [S, S, 3] or None
         self.event = threading.Event()
@@ -105,7 +107,8 @@ class ChatService:
                  prefill_chunk: int = 0, sampling: bool = False,
                  max_queue: int = 256, sessions: int = 0,
                  session_chunk: int = 64,
-                 max_ctx: Optional[int] = None, dtype=None):
+                 max_ctx: Optional[int] = None,
+                 max_regions: int = 8, dtype=None):
         import jax.numpy as jnp
 
         from visionllm_tpu.generation import (
@@ -165,6 +168,7 @@ class ChatService:
         self.slots = slots
         self.img_len = (image_size // 14) ** 2
         self.max_sessions = 0
+        self.max_regions = max_regions
         self.tid = SpecialTokenIds.from_tokenizer(tokenizer)
         self.eos_id = _eos_or_default(tokenizer)
         self.core = VisionLLM(cfg, dtype=dtype or jnp.bfloat16)
@@ -267,8 +271,57 @@ class ChatService:
 
     # ---- request assembly (caller thread) ----
 
+    def _check_regions(self, regions: Optional[List],
+                       image: Optional[np.ndarray]
+                       ) -> Optional[np.ndarray]:
+        """Validate mode support + build the padded mask array."""
+        if regions is None:
+            return None
+        if not getattr(self.cfg, "use_region_encoder", False):
+            raise ValueError("this model config has no RegionEncoder "
+                             "(use_region_encoder=False)")
+        if image is None:
+            raise ValueError("region prompts need the image they "
+                             "refer to (pass image/image_b64)")
+        if self.max_batch > 1:
+            raise ValueError(
+                "region prompts are not supported with request "
+                "micro-batching — serve with --max-batch 1 or --slots")
+        return self._region_masks(regions, image)
+
+    def _region_masks(self, regions: List,
+                      image: np.ndarray) -> np.ndarray:
+        """Visual prompts → [max_regions, S, S] CLIP-geometry masks.
+        Each region is an xyxy box [4] or a binary mask [H, W], both in
+        the ORIGINAL image geometry (reference region-eval protocol:
+        eval_region_caption_refcoco.py boxes_to_masks + pad clip)."""
+        from visionllm_tpu.eval.region_eval import (_clip_region_masks,
+                                                    boxes_to_masks)
+        h, w = image.shape[:2]
+        masks = []
+        for r in regions:
+            r = np.asarray(r, np.float32)
+            if r.ndim == 1 and r.shape[0] == 4:
+                masks.append(boxes_to_masks(r[None], h, w)[0])
+            elif r.ndim == 2 and r.shape == (h, w):
+                masks.append((r > 0).astype(np.float32))
+            else:
+                raise ValueError(
+                    f"each region must be an xyxy box [4] or a mask "
+                    f"matching the image [{h}, {w}]; got {r.shape}")
+        if not 0 < len(masks) <= self.max_regions:
+            raise ValueError(
+                f"1..{self.max_regions} regions supported per request "
+                f"(max_regions), got {len(masks)}")
+        clipped = _clip_region_masks(np.stack(masks), self.image_size)
+        out = np.zeros((self.max_regions, self.image_size,
+                        self.image_size), np.float32)
+        out[:len(masks)] = clipped   # zero pads compact away on device
+        return out
+
     def _encode(self, prompt: str, image: Optional[np.ndarray],
-                history: Optional[List] = None):
+                history: Optional[List] = None,
+                num_regions: int = 0):
         """`history`: prior turns as [user_text, assistant_text, ...] or
         [{"role": "user"|"assistant", "content": ...}, ...] — rendered
         through the conversation template ahead of the new prompt
@@ -295,6 +348,21 @@ class ChatService:
         if len(turns) % 2:
             raise ValueError("history must end with an assistant turn")
         turns.append(prompt)
+        if num_regions:
+            # one '<regions>' placeholder per conversation (it may sit
+            # in a HISTORY turn on follow-ups — clients echo their
+            # original prompts back) → the reference's visual-prompt
+            # token structure '<reg>region1<region></reg>, ...'
+            from visionllm_tpu.eval.region_eval import region_str
+            occ = [i for i, t in enumerate(turns) if "<regions>" in t]
+            if sum(t.count("<regions>") for t in turns) != 1:
+                raise ValueError(
+                    "region-prompted requests must place exactly one "
+                    "<regions> placeholder in the conversation (e.g. "
+                    "'What is <regions>?'); it expands to the region "
+                    "token structure for all passed regions")
+            turns[occ[0]] = turns[occ[0]].replace(
+                "<regions>", region_str(num_regions), 1)
         if image is not None:
             turns[0] = "<image>\n" + turns[0]
         for i, text in enumerate(turns):
@@ -315,7 +383,8 @@ class ChatService:
                  temperature: float = 0.0, top_p: float = 1.0,
                  seed: Optional[int] = None,
                  logprobs: bool = False,
-                 session: Optional[str] = None) -> dict:
+                 session: Optional[str] = None,
+                 regions: Optional[List] = None) -> dict:
         from visionllm_tpu.data.mm_utils import find_stop
 
         if temperature > 0 and not self.sampling:
@@ -325,9 +394,11 @@ class ChatService:
         if session is not None and self.max_sessions <= 0:
             raise ValueError("session KV reuse requires a session "
                              "server (serve --slots N --sessions M)")
-        ids, img, conv = self._encode(prompt, image, history)
+        regs = self._check_regions(regions, image)
+        ids, img, conv = self._encode(prompt, image, history,
+                                      num_regions=len(regions or ()))
         req = _Request(ids, img, temperature=temperature, top_p=top_p,
-                       seed=seed, session=session)
+                       seed=seed, session=session, regions=regs)
         t0 = time.perf_counter()
         self._submit(req)
         req.event.wait()
@@ -361,7 +432,8 @@ class ChatService:
                         max_new_tokens: Optional[int] = None,
                         temperature: float = 0.0, top_p: float = 1.0,
                         seed: Optional[int] = None,
-                        session: Optional[str] = None):
+                        session: Optional[str] = None,
+                        regions: Optional[List] = None):
         """Incremental generation: returns an iterator of text deltas
         as the slot scheduler decodes (continuous-batching mode only —
         the other modes run the whole decode inside one jitted call and
@@ -384,9 +456,11 @@ class ChatService:
         if session is not None and self.max_sessions <= 0:
             raise ValueError("session KV reuse requires a session "
                              "server (serve --slots N --sessions M)")
-        ids, img, conv = self._encode(prompt, image, history)
+        regs = self._check_regions(regions, image)
+        ids, img, conv = self._encode(prompt, image, history,
+                                      num_regions=len(regions or ()))
         r = _Request(ids, img, temperature=temperature, top_p=top_p,
-                     seed=seed, session=session)
+                     seed=seed, session=session, regions=regs)
         r.stream_q = queue.Queue()
         stop = conv.sep2 or conv.sep
         limit = min(max_new_tokens or self.max_new_tokens,
@@ -445,7 +519,8 @@ class ChatService:
         cached, ids = ent["ids"], np.asarray(r.ids, np.int32)
         ok = (len(ids) > len(cached)
               and bool(np.array_equal(ids[:len(cached)], cached))
-              and ent["img"] == _image_key(r.image))
+              and ent["img"] == _image_key(r.image)
+              and ent["reg"] == _image_key(r.regions))
         if ok:
             delta = ids[len(cached):]
             guard = {self.tid.img, self.tid.imp, self.tid.reg} | set(
@@ -500,6 +575,7 @@ class ChatService:
             "ids": np.concatenate([np.asarray(r.ids, np.int32),
                                    np.asarray(stream[:-1], np.int32)]),
             "img": _image_key(r.image),
+            "reg": _image_key(r.regions),
             "fill": int(fill0) + len(stream) - 1,
             "stamp": self._stamp}
         self._slot_sid[slot] = r.session
@@ -619,9 +695,13 @@ class ChatService:
                         # between chunks, so the stall a long prompt
                         # causes is one chunk, not the whole prefill
                         C = self.prefill_chunk
+                        chunk_kw = {}
+                        if r.regions is not None:
+                            chunk_kw = dict(
+                                regions=jnp.asarray(r.regions[None]))
                         emb = self._chunk_embed(
                             self.params, jnp.asarray(ids),
-                            jnp.asarray(img))
+                            jnp.asarray(img), **chunk_kw)
                         cache_row = self._chunk_row()
                         valid = jnp.concatenate(
                             [jnp.asarray(mask[0]),
@@ -643,6 +723,10 @@ class ChatService:
                                "logprob": first_lp_t,
                                "cache": cache_row, "valid": valid}
                     else:
+                        if r.regions is not None:
+                            sample_kw = dict(
+                                sample_kw,
+                                regions=jnp.asarray(r.regions[None]))
                         pre = self._slot_prefill(
                             self.params, jnp.asarray(ids),
                             jnp.asarray(img), jnp.asarray(mask),
@@ -767,18 +851,23 @@ class ChatService:
         # flattened scatter assumes every row carries <im_patch> tokens)
         imgs = np.zeros((B, 1, S, S, 3), np.float32)
         live = np.zeros((B,), bool)
+        regs = None
         for b, r in enumerate(batch):
             n = len(r.ids)
             ids[b, L - n:] = r.ids
             mask[b, L - n:] = True
             if r.image is not None:
                 imgs[b, 0] = r.image
+            if r.regions is not None:   # B == 1 (checked at submit)
+                regs = np.asarray(r.regions[None])
             live[b] = True
+        reg_kw = {} if regs is None else dict(regions=jnp.asarray(regs))
         if self.spec_k > 0:
             # latency mode: B=1, speculative windows (no `live` rows)
             out = self.generate_fn(self.params, jnp.asarray(ids),
                                    jnp.asarray(imgs),
-                                   attn_mask=jnp.asarray(mask))
+                                   attn_mask=jnp.asarray(mask),
+                                   **reg_kw)
         elif self.sampling:
             import jax
             # one key per generate call: per-request seed determinism
@@ -798,12 +887,12 @@ class ChatService:
                                    live=jnp.asarray(live),
                                    rng=jax.random.PRNGKey(seed),
                                    temperature=jnp.asarray(temp),
-                                   top_p=jnp.asarray(topp))
+                                   top_p=jnp.asarray(topp), **reg_kw)
         else:
             out = self.generate_fn(self.params, jnp.asarray(ids),
                                    jnp.asarray(imgs),
                                    attn_mask=jnp.asarray(mask),
-                                   live=jnp.asarray(live))
+                                   live=jnp.asarray(live), **reg_kw)
         n_gen = int(out["num_generated"])
         toks = np.asarray(out["out_tokens"][:, :n_gen])
         lps = np.asarray(out["out_logprobs"][:, :n_gen])
@@ -924,6 +1013,16 @@ class _Handler(BaseHTTPRequestHandler):
             req = json.loads(self.rfile.read(n) or b"{}")
             prompt = req["prompt"]
             image = self._read_image(req)
+            regions = None
+            if req.get("region_boxes") or req.get("region_masks"):
+                regions = [np.asarray(b, np.float32)
+                           for b in req.get("region_boxes") or ()]
+                if req.get("region_masks"):
+                    from visionllm_tpu.ops.rle import rle_decode
+                    regions += [
+                        rle_decode(m["counts"], *m["size"]).astype(
+                            np.float32)
+                        for m in req["region_masks"]]
             if req.get("stream"):
                 # validation (mode, sampling flags, history) happens
                 # before any header goes out, so bad requests are real
@@ -934,7 +1033,8 @@ class _Handler(BaseHTTPRequestHandler):
                     temperature=float(req.get("temperature", 0.0)),
                     top_p=float(req.get("top_p", 1.0)),
                     seed=req.get("seed"),
-                    session=req.get("session"))
+                    session=req.get("session"),
+                    regions=regions)
                 # server-sent events: one data frame per text delta
                 self.send_response(200)
                 self.send_header("Content-Type", "text/event-stream")
@@ -958,7 +1058,8 @@ class _Handler(BaseHTTPRequestHandler):
                 top_p=float(req.get("top_p", 1.0)),
                 seed=req.get("seed"),
                 logprobs=bool(req.get("logprobs")),
-                session=req.get("session"))
+                session=req.get("session"),
+                regions=regions)
             self._reply(200, out)
         except (KeyError, ValueError, TypeError) as e:
             self._reply(400, {"error": f"bad request: {e}"})
