@@ -89,3 +89,33 @@ def test_kv_cache_decode_matches_full_forward(hf_and_params):
         np.testing.assert_allclose(
             np.asarray(logits[:, 0]), np.asarray(full_logits[:, t]),
             rtol=1e-4, atol=1e-4, err_msg=f"step {t}")
+
+
+@pytest.mark.parametrize("mode", ["full", "dots"])
+def test_remat_matches_plain_loss_and_grads(hf_and_params, mode):
+    """cfg.remat recomputes layer activations in the backward pass; it
+    must change memory only — loss and gradients stay numerically equal
+    to the non-remat stack (same params tree, same forward HLO)."""
+    import dataclasses
+
+    _, params = hf_and_params
+    rng = np.random.default_rng(2)
+    ids = rng.integers(0, TINY.vocab_size, (2, 9))
+    positions = jnp.arange(ids.shape[1])[None]
+
+    def loss_fn(p, cfg):
+        model = LlamaModel(cfg, dtype=jnp.float32)
+        embeds = model.apply({"params": p}, jnp.asarray(ids),
+                             method=LlamaModel.embed)
+        _, logits, _ = model.apply({"params": p}, embeds, positions)
+        return jnp.mean(jax.nn.log_softmax(logits)[..., 0] ** 2)
+
+    remat_cfg = dataclasses.replace(TINY, remat=mode)
+    loss0, grads0 = jax.value_and_grad(loss_fn)(params, TINY)
+    loss1, grads1 = jax.value_and_grad(loss_fn)(params, remat_cfg)
+    np.testing.assert_allclose(np.asarray(loss1), np.asarray(loss0),
+                               rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
+        grads0, grads1)

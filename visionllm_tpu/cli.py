@@ -278,6 +278,10 @@ def main(argv=None):
                     help="micro-batches accumulated per optimizer step "
                          "(the reference's gradient_accumulation_steps); "
                          "--steps counts micro-batches")
+    tr.add_argument("--remat", default="", choices=["", "dots", "full"],
+                    help="rematerialize LLM decoder layers in the "
+                         "backward pass (activation memory for FLOPs; "
+                         "'dots' keeps matmul outputs)")
     tr.add_argument("--tiny", action="store_true")
     _dist_flags(tr)
     args = parser.parse_args(argv)
@@ -457,6 +461,10 @@ def main(argv=None):
         from visionllm_tpu.models.visionllm import SpecialTokenIds
         from visionllm_tpu.train.runner import TrainConfig, Trainer
         cfg = tiny_test_config() if args.tiny else vllm_7b_config()
+        if args.remat:
+            import dataclasses
+            cfg = dataclasses.replace(
+                cfg, llm=dataclasses.replace(cfg.llm, remat=args.remat))
         with open(args.data) as f:
             ds_cfgs = json.load(f)
         if args.tokenizer:

@@ -63,6 +63,12 @@ class LLMConfig:
     # serving-only KV-cache storage: "" (model dtype) | "int8" —
     # per-(token, head)-scaled int8 cache, halves decode cache reads
     kv_quant: str = ""
+    # training-time rematerialization of the scanned decoder layers:
+    # "" (store all activations) | "dots" (save matmul outputs, the
+    # usual TPU training compromise) | "full" (recompute everything in
+    # the backward pass — activation memory drops from O(layers) to
+    # O(1) layers, the standard trade for 4k-context training)
+    remat: str = ""
 
     @property
     def head_dim(self) -> int:

@@ -211,8 +211,17 @@ class LlamaModel(nn.Module):
         self.embed_tokens = nn.Embed(
             cfg.vocab_size, cfg.hidden_size, dtype=self.dtype,
             name="embed_tokens")
+        layer_cls = _ScannedLayer
+        if cfg.remat:
+            # recompute layer activations in the backward pass; under
+            # scan prevent_cse is unnecessary (scan already isolates
+            # iterations) and disabling it keeps the forward HLO clean
+            policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                      if cfg.remat == "dots" else None)
+            layer_cls = nn.remat(_ScannedLayer, policy=policy,
+                                 prevent_cse=False)
         self.layers = nn.scan(
-            _ScannedLayer,
+            layer_cls,
             variable_axes={"params": 0},
             split_rngs={"params": True},
             in_axes=0,
