@@ -297,13 +297,27 @@ def main():
         compiled = jitted.lower(jnp.int32(E2E_LO), e2e_args).compile()
         fmt_n, fmt_args = compiled.input_formats[0]
         fmt_params = fmt_args[0]
-        log(f"e2e compile {time.time()-t:.1f}s")
+        t_compile = time.time() - t
+        log(f"e2e compile {t_compile:.1f}s")
+        # compile runs on the HOST CPU: a contended host was observed to
+        # stretch the nominal 33 s compile to 283 s, starving every
+        # measured stage. Like the relay first call, that cost is
+        # environmental, not a property of the model — credit the excess
+        # back to the stage budget.
+        result["e2e_compile_s"] = round(t_compile, 1)
+        if t_compile > 60.0:
+            BUDGET["s"] += t_compile - 60.0
+            log(f"slow compile → credited {t_compile-60.0:.0f}s back")
 
         t = time.time()
         params = jax.jit(init, out_shardings=fmt_params)(
             jax.random.PRNGKey(0))
         jax.block_until_ready(params)
-        log(f"init (layout-negotiated) {time.time()-t:.1f}s")
+        t_init = time.time() - t
+        log(f"init (layout-negotiated) {t_init:.1f}s")
+        if t_init > 90.0:
+            BUDGET["s"] += t_init - 90.0
+            log(f"slow init → credited {t_init-90.0:.0f}s back")
         input_ids_d = jax.device_put(input_ids, fmt_args[1])
         images_d = jax.device_put(images, fmt_args[2])
         images_aug_d = jax.device_put(images_aug, fmt_args[3])
@@ -559,6 +573,47 @@ def main():
                 log(f"decode {t_step*1e3:.2f} ms/tok → "
                     f"{1/t_step:.1f} tok/s")
 
+                # ---- LLM prefill bf16 (baseline for the w8a8 stage) --
+                # prefill is COMPUTE-bound (L_prompt tokens × the full
+                # weight tree); measured cache-less at the e2e prompt
+                # length so the w8a8 (int8×int8→int32 MXU, 2× bf16
+                # peak) speedup below has an apples-to-apples baseline.
+                L_PREF = L_prompt
+                embP = jnp.zeros((1, L_PREF, hid), jnp.bfloat16)
+                t_pref_bf16 = None
+                if left() > 80:
+                    def prefill(cparams, embed, eps):
+                        posP = jnp.arange(L_PREF)[None, :]
+                        _, lg, _ = core.apply(
+                            {"params": cparams},
+                            embed + eps.astype(embed.dtype), posP,
+                            method=lambda m, e, p: m.llm(
+                                e, p, compute_logits=True))
+                        return lg[:, -1, :]
+
+                    t = time.time()
+                    jpref = jax.jit(_chained(prefill)).lower(
+                        jnp.int32(E2E_LO), cparams, embP).compile()
+                    log(f"prefill bf16 compile {time.time()-t:.1f}s")
+
+                    def run_pref(n):
+                        t = time.perf_counter()
+                        _ = float(jpref(jnp.int32(n), cparams, embP))
+                        return time.perf_counter() - t
+
+                    t_pref_bf16 = _slope(run_pref, E2E_LO, E2E_HI,
+                                         "prefill-bf16")
+                    result["prefill_ms_bf16"] = round(t_pref_bf16 * 1e3,
+                                                      2)
+                    result["mfu_prefill_bf16"] = round(
+                        2 * (pl - pe) * L_PREF
+                        / (t_pref_bf16 * PEAK_FLOPS), 4)
+                    log(f"prefill bf16 {t_pref_bf16*1e3:.1f} ms "
+                        f"(mfu {result['mfu_prefill_bf16']:.2f})")
+                    del jpref
+                else:
+                    result["prefill_bf16_skipped"] = f"left {left():.0f}s"
+
                 # ---- int8 weight-only decode (serving quant mode) ----
                 # decode is HBM-bound; int8 weights halve bytes/token
                 # (ops/quant.py). Quantize the resident bf16 tree in
@@ -626,6 +681,65 @@ def main():
                         pl / (t_q * PEAK_HBM), 4)
                     log(f"decode int8 {t_q*1e3:.2f} ms/tok → "
                         f"{1/t_q:.1f} tok/s")
+
+                    # ---- w8a8 prefill (serve --quant w8a8) ----------
+                    # same int8 tree, but activations quantize per
+                    # token and the dots run int8×int8→int32 on the
+                    # MXU at 2× the bf16 rate (v5e 394 TOP/s) — this is
+                    # the compute-bound-prefill counterpart of the
+                    # bandwidth-bound decode modes above.
+                    if left() > 80:
+                        try:
+                            a8cfg = dataclasses.replace(
+                                cfg, llm=dataclasses.replace(
+                                    cfg.llm, quant="w8a8"))
+                            a8core = VisionLLM(a8cfg, jnp.bfloat16)
+
+                            def prefill_a8(cparams, embed, eps):
+                                posP = jnp.arange(L_PREF)[None, :]
+                                _, lg, _ = a8core.apply(
+                                    {"params": cparams},
+                                    embed + eps.astype(embed.dtype),
+                                    posP,
+                                    method=lambda m, e, p: m.llm(
+                                        e, p, compute_logits=True))
+                                return lg[:, -1, :]
+
+                            t = time.time()
+                            japref = jax.jit(
+                                _chained(prefill_a8)).lower(
+                                jnp.int32(E2E_LO), qparams,
+                                embP).compile()
+                            log(f"prefill w8a8 compile "
+                                f"{time.time()-t:.1f}s")
+
+                            def run_apref(n):
+                                t = time.perf_counter()
+                                _ = float(japref(jnp.int32(n), qparams,
+                                                 embP))
+                                return time.perf_counter() - t
+
+                            t_a8 = _slope(run_apref, E2E_LO, E2E_HI,
+                                          "prefill-w8a8")
+                            result["prefill_ms_w8a8"] = round(
+                                t_a8 * 1e3, 2)
+                            # int8 MXU util vs the 2× int8 peak
+                            result["int8_mxu_util_prefill"] = round(
+                                2 * (pl - pe) * L_PREF
+                                / (t_a8 * 2 * PEAK_FLOPS), 4)
+                            if t_pref_bf16:
+                                result["prefill_speedup_w8a8"] = round(
+                                    t_pref_bf16 / t_a8, 3)
+                            log(f"prefill w8a8 {t_a8*1e3:.1f} ms "
+                                f"({result.get('prefill_speedup_w8a8', 0)}"
+                                f"x bf16)")
+                            del japref
+                        except Exception as e:      # noqa: BLE001
+                            result["prefill_w8a8_error"] = str(e)[:200]
+                            log(f"w8a8 prefill failed: {e}")
+                    else:
+                        result["prefill_w8a8_skipped"] = (
+                            f"left {left():.0f}s")
 
                     # ---- int4 weight-only decode (serve --quant int4) ----
                     # w4g128 packed nibbles + Pallas fused

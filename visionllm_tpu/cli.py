@@ -109,7 +109,7 @@ def _common(sub):
     sub.add_argument("--tokenizer", default=None)
     sub.add_argument("--limit", type=int, default=None)
     sub.add_argument("--tiny", action="store_true")
-    sub.add_argument("--quant", default="", choices=["", "int8", "int4"],
+    sub.add_argument("--quant", default="", choices=["", "int8", "w8a8", "int4"],
                      help="serving-only weight quantization of the LLM "
                           "matmuls (ops/quant.py)")
     sub.add_argument("--kv-quant", default="", choices=["", "int8"],
@@ -184,7 +184,7 @@ def main(argv=None):
     reg.add_argument("--limit", type=int, default=None)
     reg.add_argument("--tiny", action="store_true")
     reg.add_argument("--max-new-tokens", type=int, default=None)
-    reg.add_argument("--quant", default="", choices=["", "int8", "int4"])
+    reg.add_argument("--quant", default="", choices=["", "int8", "w8a8", "int4"])
     reg.add_argument("--kv-quant", default="", choices=["", "int8"])
     vqa = subs.add_parser(
         "eval-vqa", help="VQA benchmark runners (MME/POPE/MMBench/SEED/"
@@ -206,7 +206,7 @@ def main(argv=None):
                      help="vectorize the benchmark decode: B prompts "
                           "left-padded into one compiled generate "
                           "(token-identical to bs=1, ~B× throughput)")
-    vqa.add_argument("--quant", default="", choices=["", "int8", "int4"])
+    vqa.add_argument("--quant", default="", choices=["", "int8", "w8a8", "int4"])
     vqa.add_argument("--kv-quant", default="", choices=["", "int8"])
     sv = subs.add_parser(
         "serve", help="HTTP serving front-end (POST /v1/generate)")
@@ -262,7 +262,7 @@ def main(argv=None):
                     help="speculative decoding draft length (latency "
                          "mode, B=1 only; exact greedy — prompt-lookup "
                          "drafts + windowed forced-[EMB] runs)")
-    sv.add_argument("--quant", default="", choices=["", "int8", "int4"])
+    sv.add_argument("--quant", default="", choices=["", "int8", "w8a8", "int4"])
     sv.add_argument("--kv-quant", default="", choices=["", "int8"])
     tr = subs.add_parser("train")
     tr.add_argument("--model-config", default=None)

@@ -56,9 +56,13 @@ class LLMConfig:
     # LoRA (reference wrap_llm_lora: r=32, alpha=64 on qkvo + MLP)
     lora_r: int = 0
     lora_alpha: float = 64.0
-    # serving-only: "" (bf16) | "int8" | "int4" — weight-only quantized
-    # matmuls (ops/quant.py int8 per-out-channel; ops/quant4.py w4g128
-    # packed-nibble Pallas kernel); params from quantize_serving_params
+    # serving-only: "" (bf16) | "int8" | "w8a8" | "int4". int8/int4 are
+    # weight-only quantized matmuls (ops/quant.py int8 per-out-channel;
+    # ops/quant4.py w4g128 packed-nibble Pallas kernel) for bandwidth-
+    # bound decode; w8a8 shares the int8 param tree but also quantizes
+    # activations per token and runs int8×int8→int32 on the MXU at 2×
+    # the bf16 rate — for compute-bound prefill/TTFT. Params from
+    # quantize_serving_params (bits=8 for both int8 and w8a8).
     quant: str = ""
     # serving-only KV-cache storage: "" (model dtype) | "int8" —
     # per-(token, head)-scaled int8 cache, halves decode cache reads

@@ -88,6 +88,10 @@ class LlamaDecoderLayer(nn.Module):
             from visionllm_tpu.ops.quant import Int8Dense
             dense = lambda feats, name: Int8Dense(
                 feats, dtype=self.dtype, name=name)
+        elif cfg.quant == "w8a8":
+            from visionllm_tpu.ops.quant import Int8ActDense
+            dense = lambda feats, name: Int8ActDense(
+                feats, dtype=self.dtype, name=name)
         elif cfg.quant == "int4":
             from visionllm_tpu.ops.quant4 import Int4Dense
             dense = lambda feats, name: Int4Dense(
@@ -234,6 +238,10 @@ class LlamaModel(nn.Module):
             from visionllm_tpu.ops.quant import Int8Dense
             self.lm_head = Int8Dense(cfg.vocab_size, dtype=self.dtype,
                                      name="lm_head")
+        elif cfg.quant == "w8a8":
+            from visionllm_tpu.ops.quant import Int8ActDense
+            self.lm_head = Int8ActDense(cfg.vocab_size, dtype=self.dtype,
+                                        name="lm_head")
         elif cfg.quant == "int4":
             from visionllm_tpu.ops.quant4 import Int4Dense
             self.lm_head = Int4Dense(cfg.vocab_size, dtype=self.dtype,

@@ -85,6 +85,56 @@ class Int8Dense(nn.Module):
         return y * scale.astype(self.dtype)
 
 
+class Int8ActDense(nn.Module):
+    """``nn.Dense`` with int8 weights AND dynamically-int8 activations.
+
+    Same param tree as :class:`Int8Dense` (``kernel_q`` int8
+    ``[in, features]``, ``scale`` bf16 ``[features]``), so a
+    ``quantize_llm_params`` tree serves either mode — only the compute
+    path differs: activations are quantized per row (symmetric, dynamic
+    ``max|x|/127``) and the dot runs **int8×int8→int32**, which the TPU
+    MXU executes at 2× the bf16 rate (v5e: 394 vs 197 TOP/s). Where
+    weight-only int8 (``quant="int8"``) helps only bandwidth-bound
+    decode, this accelerates the compute-bound PREFILL — the dominant
+    term of e2e perception latency and TTFT.
+
+    Numerics: the int32 accumulation is exact, so the only error is the
+    input rounding (≤ half a step per operand: ``|Δx| ≤ sx/2``,
+    ``|ΔW| ≤ sw/2``) — per-token dynamic scales keep relative error
+    ~0.4% per element, in practice indistinguishable from bf16 serving
+    for greedy decoding (tests: tests/test_quant.py w8a8 cases).
+
+    The reference has no quantized path at all (bf16 ``generate()``,
+    modeling_visionllmv2.py); this is a TPU-first serving extension
+    (``LLMConfig.quant="w8a8"``, CLI ``--quant w8a8``).
+    """
+
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_features = x.shape[-1]
+        kernel_q = self.param(
+            "kernel_q", nn.initializers.zeros,
+            (in_features, self.features), jnp.int8)
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.features,), jnp.bfloat16)
+        # dynamic per-row activation quantization (fused elementwise:
+        # one extra read of x, no HBM round trip for xq at prefill tile
+        # sizes — XLA fuses quantize into the dot's operand load)
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1,
+                       keepdims=True)
+        sx = jnp.maximum(amax / 127.0, 1e-8)
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
+                      -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            xq, kernel_q, (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        y = acc.astype(jnp.float32) * sx * scale.astype(jnp.float32)
+        return y.astype(self.dtype)
+
+
 def quantize_kv(x: jnp.ndarray):
     """Per-(token, head) symmetric int8 quantization of a K or V block.
 
