@@ -410,6 +410,58 @@ def main():
             log(f"ttft skipped (left {left():.0f}s ≤ 260s) — "
                 "decode has priority")
 
+        # ---------------- LLM prefill bf16 (w8a8 baseline) ------------
+        # prefill is COMPUTE-bound (L_prompt tokens × the full weight
+        # tree); measured cache-less at the e2e prompt length so the
+        # w8a8 stage has an apples-to-apples baseline. MUST run here,
+        # against the E2E tree: its layouts were negotiated for a
+        # program that contains this exact prefill. Feeding the DECODE
+        # tree instead (as the first r03 attempt did) makes XLA
+        # materialize relayouted copies of the stacked scanned kernels
+        # inside the program — RESOURCE_EXHAUSTED next to the 13.5 GB
+        # tree, twice observed.
+        if left() > 170:
+            try:
+                hidP = cfg.llm.hidden_size
+                embP1 = jnp.zeros((1, L_prompt, hidP), jnp.bfloat16)
+
+                def prefill_e(params, embed, eps):
+                    posP = jnp.arange(L_prompt)[None, :]
+                    _, lg, _ = model.apply(
+                        {"params": params},
+                        embed + eps.astype(embed.dtype), posP,
+                        method=lambda m, e, p: m.core.llm(
+                            e, p, compute_logits=True))
+                    return lg[:, -1, :]
+
+                t = time.time()
+                jpref = jax.jit(
+                    _chained(prefill_e),
+                    in_shardings=(auto(0),
+                                  (fmt_params, auto(embP1)))).lower(
+                    jnp.int32(E2E_LO), (params, embP1)).compile()
+                log(f"prefill bf16 compile {time.time()-t:.1f}s")
+
+                def run_pref(n):
+                    t = time.perf_counter()
+                    _ = float(jpref(jnp.int32(n), (params, embP1)))
+                    return time.perf_counter() - t
+
+                t_pref_bf16 = _slope(run_pref, E2E_LO, E2E_HI,
+                                     "prefill-bf16")
+                result["prefill_ms_bf16"] = round(t_pref_bf16 * 1e3, 2)
+                result["mfu_prefill_bf16"] = round(
+                    2 * (p_llm - p_emb) * L_prompt
+                    / (t_pref_bf16 * PEAK_FLOPS), 4)
+                log(f"prefill bf16 {t_pref_bf16*1e3:.1f} ms "
+                    f"(mfu {result['mfu_prefill_bf16']:.2f})")
+                del jpref, embP1
+            except Exception as e:                  # noqa: BLE001
+                result["prefill_bf16_error"] = str(e)[:200]
+                log(f"prefill bf16 failed: {e}")
+        else:
+            result["prefill_bf16_skipped"] = f"left {left():.0f}s"
+
         # ---------------- batched e2e (throughput config) ------------
         # images/sec/chip is a THROUGHPUT metric; production serving
         # batches. bs=4 amortizes the poorly-utilized parts of the
@@ -417,6 +469,12 @@ def main():
         # matmuls, ViT at 577 tokens) over 4 images while the prefill
         # stays MXU-bound. Needs its own param tree: the bs=4 program
         # negotiates its own layouts (see module docstring).
+        #
+        # Runs LAST (after the decode family): the r03 dry run showed it
+        # costing 220+ s on a host-contended day (97.8 s compile +
+        # 112.3 s init), which starved every decode metric — the exact
+        # VERDICT-r2 failure this file exists to prevent. Decode owns
+        # the budget; bs4 spends whatever is left over.
         def _delete_e2e_tree():
             for leaf in jax.tree.leaves(
                     (params, input_ids_d, images_d, images_aug_d)):
@@ -424,63 +482,51 @@ def main():
 
         e2e_tree_live = True
         B4 = 4
-        if left() > 250:
-            try:
-                ids4 = jnp.tile(input_ids, (B4, 1))
-                img4 = 0.3 * jax.random.normal(
-                    rng, (B4, size, size, 3), jnp.bfloat16)
-                aug4 = 0.3 * jax.random.normal(
-                    rng, (B4, DET_SIZE, DET_SIZE, 3), jnp.bfloat16)
-                e2e4_args = (p_abs, ids4, img4, aug4)
-                t = time.time()
-                jit4 = jax.jit(_chained(e2e),
-                               in_shardings=(auto(0), auto(e2e4_args)))
-                c4 = jit4.lower(jnp.int32(E2E_LO), e2e4_args).compile()
-                f4_n, f4_args = c4.input_formats[0]
-                log(f"e2e bs{B4} compile {time.time()-t:.1f}s")
+
+        def _bs4_stage():
+            nonlocal e2e_tree_live
+            ids4 = jnp.tile(input_ids, (B4, 1))
+            img4 = 0.3 * jax.random.normal(
+                rng, (B4, size, size, 3), jnp.bfloat16)
+            aug4 = 0.3 * jax.random.normal(
+                rng, (B4, DET_SIZE, DET_SIZE, 3), jnp.bfloat16)
+            e2e4_args = (p_abs, ids4, img4, aug4)
+            t = time.time()
+            jit4 = jax.jit(_chained(e2e),
+                           in_shardings=(auto(0), auto(e2e4_args)))
+            c4 = jit4.lower(jnp.int32(E2E_LO), e2e4_args).compile()
+            f4_n, f4_args = c4.input_formats[0]
+            log(f"e2e bs{B4} compile {time.time()-t:.1f}s")
+            if e2e_tree_live:
                 _delete_e2e_tree()
                 e2e_tree_live = False
-                t = time.time()
-                params4 = jax.jit(init, out_shardings=f4_args[0])(
-                    jax.random.PRNGKey(0))
-                jax.block_until_ready(params4)
-                log(f"bs{B4} init {time.time()-t:.1f}s")
-                args4 = (params4, jax.device_put(ids4, f4_args[1]),
-                         jax.device_put(img4, f4_args[2]),
-                         jax.device_put(aug4, f4_args[3]))
+            t = time.time()
+            params4 = jax.jit(init, out_shardings=f4_args[0])(
+                jax.random.PRNGKey(0))
+            jax.block_until_ready(params4)
+            log(f"bs{B4} init {time.time()-t:.1f}s")
+            args4 = (params4, jax.device_put(ids4, f4_args[1]),
+                     jax.device_put(img4, f4_args[2]),
+                     jax.device_put(aug4, f4_args[3]))
 
-                def run4(n):
-                    t = time.perf_counter()
-                    _ = np.asarray(c4(jnp.int32(n), args4))
-                    return time.perf_counter() - t
+            def run4(n):
+                t = time.perf_counter()
+                _ = np.asarray(c4(jnp.int32(n), args4))
+                return time.perf_counter() - t
 
-                run4(1)                             # warm the program
-                t4 = _slope(run4, E2E_LO, 6, f"e2e-bs{B4}")
-                rate4 = B4 / t4
-                result["value_bs1"] = result["value"]
-                result[f"value_bs{B4}"] = round(rate4, 3)
-                log(f"e2e bs{B4} {t4*1e3/B4:.1f} ms/image → "
-                    f"{rate4:.3f} im/s")
-                if rate4 > result["value"]:
-                    result["value"] = round(rate4, 3)
-                    result["batch"] = B4
-                    result["vs_baseline"] = round(rate4 / base, 3)
-                for leaf in jax.tree.leaves(args4):
-                    leaf.delete()
-                del c4, params4, args4
-            except Exception as e:                  # noqa: BLE001
-                result[f"e2e_bs{B4}_error"] = str(e)[:200]
-                log(f"e2e bs{B4} stage failed: {e}")
-                # free any partially-built bs4 tree so decode can init
-                for name in ("params4", "args4"):
-                    if name in locals():
-                        for leaf in jax.tree.leaves(locals()[name]):
-                            try:
-                                leaf.delete()
-                            except Exception:       # noqa: BLE001
-                                pass
-        else:
-            result[f"e2e_bs{B4}_skipped"] = f"budget left {left():.0f}s"
+            run4(1)                             # warm the program
+            t4 = _slope(run4, E2E_LO, 6, f"e2e-bs{B4}")
+            rate4 = B4 / t4
+            result["value_bs1"] = result["value"]
+            result[f"value_bs{B4}"] = round(rate4, 3)
+            log(f"e2e bs{B4} {t4*1e3/B4:.1f} ms/image → "
+                f"{rate4:.3f} im/s")
+            if rate4 > result["value"]:
+                result["value"] = round(rate4, 3)
+                result["batch"] = B4
+                result["vs_baseline"] = round(rate4 / base, 3)
+            for leaf in jax.tree.leaves(args4):
+                leaf.delete()
 
         # ---------------- decode tok/s (KV-cache loop) ---------------
         # The decode program prefers a different qkv-kernel layout than
@@ -492,6 +538,7 @@ def main():
             try:
                 if e2e_tree_live:
                     _delete_e2e_tree()
+                    e2e_tree_live = False
                 del compiled, params, call_args
                 core = VisionLLM(cfg, jnp.bfloat16)
                 hid = cfg.llm.hidden_size
@@ -573,46 +620,13 @@ def main():
                 log(f"decode {t_step*1e3:.2f} ms/tok → "
                     f"{1/t_step:.1f} tok/s")
 
-                # ---- LLM prefill bf16 (baseline for the w8a8 stage) --
-                # prefill is COMPUTE-bound (L_prompt tokens × the full
-                # weight tree); measured cache-less at the e2e prompt
-                # length so the w8a8 (int8×int8→int32 MXU, 2× bf16
-                # peak) speedup below has an apples-to-apples baseline.
+                # (bf16 prefill is measured BEFORE this family, against
+                # the e2e tree whose layouts fit a prefill program; the
+                # w8a8 stage below compares against that number)
                 L_PREF = L_prompt
                 embP = jnp.zeros((1, L_PREF, hid), jnp.bfloat16)
-                t_pref_bf16 = None
-                if left() > 80:
-                    def prefill(cparams, embed, eps):
-                        posP = jnp.arange(L_PREF)[None, :]
-                        _, lg, _ = core.apply(
-                            {"params": cparams},
-                            embed + eps.astype(embed.dtype), posP,
-                            method=lambda m, e, p: m.llm(
-                                e, p, compute_logits=True))
-                        return lg[:, -1, :]
-
-                    t = time.time()
-                    jpref = jax.jit(_chained(prefill)).lower(
-                        jnp.int32(E2E_LO), cparams, embP).compile()
-                    log(f"prefill bf16 compile {time.time()-t:.1f}s")
-
-                    def run_pref(n):
-                        t = time.perf_counter()
-                        _ = float(jpref(jnp.int32(n), cparams, embP))
-                        return time.perf_counter() - t
-
-                    t_pref_bf16 = _slope(run_pref, E2E_LO, E2E_HI,
-                                         "prefill-bf16")
-                    result["prefill_ms_bf16"] = round(t_pref_bf16 * 1e3,
-                                                      2)
-                    result["mfu_prefill_bf16"] = round(
-                        2 * (pl - pe) * L_PREF
-                        / (t_pref_bf16 * PEAK_FLOPS), 4)
-                    log(f"prefill bf16 {t_pref_bf16*1e3:.1f} ms "
-                        f"(mfu {result['mfu_prefill_bf16']:.2f})")
-                    del jpref
-                else:
-                    result["prefill_bf16_skipped"] = f"left {left():.0f}s"
+                t_pref_bf16 = (result["prefill_ms_bf16"] / 1e3
+                               if "prefill_ms_bf16" in result else None)
 
                 # ---- int8 weight-only decode (serving quant mode) ----
                 # decode is HBM-bound; int8 weights halve bytes/token
@@ -706,17 +720,23 @@ def main():
                                 return lg[:, -1, :]
 
                             t = time.time()
+                            fmt_of = (                  # noqa: E731
+                                lambda tree: jax.tree.map(
+                                    lambda x: x.format, tree))
                             japref = jax.jit(
-                                _chained(prefill_a8)).lower(
-                                jnp.int32(E2E_LO), qparams,
-                                embP).compile()
+                                _chained(prefill_a8),
+                                in_shardings=(auto(0),
+                                              (fmt_of(qparams),
+                                               fmt_of(embP)))).lower(
+                                jnp.int32(E2E_LO),
+                                (qparams, embP)).compile()
                             log(f"prefill w8a8 compile "
                                 f"{time.time()-t:.1f}s")
 
                             def run_apref(n):
                                 t = time.perf_counter()
-                                _ = float(japref(jnp.int32(n), qparams,
-                                                 embP))
+                                _ = float(japref(jnp.int32(n),
+                                                 (qparams, embP)))
                                 return time.perf_counter() - t
 
                             t_a8 = _slope(run_apref, E2E_LO, E2E_HI,
@@ -1012,6 +1032,29 @@ def main():
             except Exception as e:                  # noqa: BLE001
                 result["decode_error"] = str(e)[:200]
                 log(f"decode stage failed: {e}")
+        else:
+            result["decode_skipped"] = f"budget left {left():.0f}s"
+            log(f"decode skipped (left {left():.0f}s ≤ 120s)")
+
+        # ---------------- batched e2e, last ---------------------------
+        # free whatever the decode family left resident (bf16 or int8
+        # LLM tree + caches) so the bs4 tree fits next to its program
+        for _name in ("qparams", "cparams", "cache0", "embed0"):
+            if _name in locals():
+                for leaf in jax.tree.leaves(locals()[_name]):
+                    try:
+                        leaf.delete()
+                    except Exception:               # noqa: BLE001
+                        pass
+        if left() > 220:
+            try:
+                _bs4_stage()
+            except Exception as e:                  # noqa: BLE001
+                result[f"e2e_bs{B4}_error"] = str(e)[:200]
+                log(f"e2e bs{B4} stage failed: {e}")
+        else:
+            result[f"e2e_bs{B4}_skipped"] = f"budget left {left():.0f}s"
+            log(f"e2e bs{B4} skipped (left {left():.0f}s ≤ 220s)")
 
     except Exception as e:                          # noqa: BLE001
         result["error"] = str(e)[:400]
