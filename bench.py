@@ -420,7 +420,9 @@ def main():
         # materialize relayouted copies of the stacked scanned kernels
         # inside the program — RESOURCE_EXHAUSTED next to the 13.5 GB
         # tree, twice observed.
-        if left() > 170:
+        # gate leaves decode's 120 s reserve intact even if this stage's
+        # compile lands at the slow end of the observed 50-108 s range
+        if left() > 230:
             try:
                 hidP = cfg.llm.hidden_size
                 embP1 = jnp.zeros((1, L_prompt, hidP), jnp.bfloat16)
@@ -947,6 +949,29 @@ def main():
                         log(f"spec w{W_SPEC} {t_w*1e3:.2f} ms/window "
                             f"({t_w/t_q:.2f}x a step) → "
                             f"{W_SPEC/t_w:.1f} tok/s at full accept")
+                        # honest effective rates: the drafter is
+                        # deterministic given history, so its realized
+                        # tokens/window is measured host-side on real
+                        # text (tools/spec_acceptance.py) and combined
+                        # with the on-chip window cost. Serving
+                        # auto-disables spec below break-even
+                        # (serve.py _track_spec_acceptance).
+                        try:
+                            from tools.spec_acceptance import measure
+                            acc = measure(k=W_SPEC - 1)
+                            result["spec_accept"] = acc
+                            for tag, key in (
+                                    ("vqa_echo",
+                                     "vqa_echo_tokens_per_window"),
+                                    ("prose",
+                                     "prose_tokens_per_window")):
+                                if key in acc:
+                                    result[f"spec_tok_s_effective_"
+                                           f"{tag}"] = round(
+                                        acc[key] / t_w, 2)
+                            log(f"spec effective: {result.get('spec_accept')}")
+                        except Exception as e:      # noqa: BLE001
+                            result["spec_accept_error"] = str(e)[:200]
                         for leaf in jax.tree.leaves(cacheW):
                             leaf.delete()
                         del sdec, cacheW

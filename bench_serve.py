@@ -48,13 +48,28 @@ def main():
     ap.add_argument("--slots", type=int, default=8)
     ap.add_argument("--spec-k", type=int, default=7)
     ap.add_argument("--requests", type=int, default=24)
-    ap.add_argument("--concurrency", type=int, default=8)
+    ap.add_argument("--concurrency", default="8",
+                    help="comma list (e.g. 8,32): the measured window "
+                         "runs once per level")
     ap.add_argument("--max-new-tokens", type=int, default=32)
     ap.add_argument("--max-prompt", type=int, default=704)
     ap.add_argument("--quant", default="int8",
                     choices=["", "int8", "int4"])
+    ap.add_argument("--kv-quant", default="", choices=["", "int8"])
+    ap.add_argument("--prefill-chunk", type=int, default=0,
+                    help="slots mode: chunked prefill width (0 = "
+                         "monolithic; exclusive with --kv-quant)")
+    ap.add_argument("--stream", action="store_true",
+                    help="slots mode: drive SSE streaming requests and "
+                         "report TTFT + per-token latency percentiles")
+    ap.add_argument("--mixed-prompts", action="store_true",
+                    help="draw prompt lengths from short/medium/long "
+                         "buckets instead of 4 short questions")
     ap.add_argument("--tiny", action="store_true")
     args = ap.parse_args()
+    concurrency_levels = [int(c) for c in
+                          str(args.concurrency).split(",")]
+    args.concurrency = concurrency_levels[0]
 
     import numpy as np
 
@@ -95,7 +110,8 @@ def main():
         cfg = dataclasses.replace(
             cfg, use_gdino=False, use_unipose=False, use_sd=False,
             use_ip2p=False, use_region_encoder=False,
-            llm=dataclasses.replace(cfg.llm, quant=args.quant))
+            llm=dataclasses.replace(cfg.llm, quant=args.quant,
+                                    kv_quant=args.kv_quant))
     # sessions mode re-renders each turn's history back into ids; the
     # cached-prefix match needs generated ids to survive the text round
     # trip (a real subword tokenizer does; the word-level mock doesn't)
@@ -105,7 +121,8 @@ def main():
     if args.mode == "batch":
         mode_kw = dict(max_batch=args.max_batch, batch_window_ms=30.0)
     elif args.mode == "slots":
-        mode_kw = dict(slots=args.slots)
+        mode_kw = dict(slots=args.slots,
+                       prefill_chunk=args.prefill_chunk)
     elif args.mode == "sessions":
         mode_kw = dict(slots=args.slots, sessions=args.slots)
     elif args.mode == "spec":
@@ -165,6 +182,14 @@ def main():
         "how many objects are there",
         "is there a person in this picture",
     ]
+    if args.mixed_prompts:
+        # short / medium / long buckets (word-level tokenizer: words ≈
+        # tokens); long stays under --max-prompt with the image tokens
+        filler = ("the scene contains several regions of interest and "
+                  "context that may matter for the answer ")
+        prompts = ([p for p in prompts]
+                   + [p + ". " + filler * 4 for p in prompts]
+                   + [p + ". " + filler * 16 for p in prompts])
     rng = np.random.RandomState(0)
     img = rng.randint(0, 255, (480, 640, 3), np.uint8)
     import base64
@@ -256,60 +281,121 @@ def main():
         srv.shutdown()
         return
 
-    lat = []
-    tokens = []
-    errs = [0]
-    lock = threading.Lock()
-    reqs = [{"prompt": prompts[i % len(prompts)],
-             **(img_body if i % 2 == 0 else {})}
-            for i in range(args.requests)]
-    it = iter(range(args.requests))
+    use_stream = args.stream and args.mode in ("slots",)
 
-    def worker():
-        while True:
-            with lock:
+    def post_stream(body, timeout=1200):
+        """SSE request; returns (ttft_s, total_s, n_deltas)."""
+        req = urllib.request.Request(
+            url, json.dumps(dict(body, stream=True)).encode(),
+            headers={"Content-Type": "application/json"})
+        t0 = time.perf_counter()
+        t_first = None
+        n_deltas = 0
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            for line in r:
+                if not line.startswith(b"data: "):
+                    continue
+                payload = line[6:].strip()
+                if payload == b"[DONE]":
+                    break
+                frame = json.loads(payload)
+                if "error" in frame:
+                    raise RuntimeError(frame["error"])
+                if t_first is None:
+                    t_first = time.perf_counter()
+                n_deltas += 1
+        return (t_first - t0 if t_first else None,
+                time.perf_counter() - t0, n_deltas)
+
+    def pct(xs, q):
+        xs = sorted(xs)
+        return round(xs[min(len(xs) - 1, int(len(xs) * q))], 4) \
+            if xs else None
+
+    def run_window(conc):
+        lat, ttfts, tpots, tokens = [], [], [], []
+        errs = [0]
+        lock = threading.Lock()
+        reqs = [{"prompt": prompts[i % len(prompts)],
+                 **(img_body if i % 2 == 0 else {})}
+                for i in range(args.requests)]
+        it = iter(range(args.requests))
+
+        def worker():
+            while True:
+                with lock:
+                    try:
+                        i = next(it)
+                    except StopIteration:
+                        return
+                t0 = time.perf_counter()
                 try:
-                    i = next(it)
-                except StopIteration:
-                    return
-            t0 = time.perf_counter()
-            try:
-                out = post(reqs[i])
-                dt = time.perf_counter() - t0
-                with lock:
-                    lat.append(dt)
-                    tokens.append(out["num_tokens"])
-            except Exception as e:              # noqa: BLE001
-                log(f"request {i} failed: {e}")
-                with lock:
-                    errs[0] += 1
+                    if use_stream:
+                        ttft, dt, n_tok = post_stream(reqs[i])
+                        with lock:
+                            lat.append(dt)
+                            tokens.append(n_tok)
+                            if ttft is not None:
+                                ttfts.append(ttft)
+                                if n_tok > 1:
+                                    tpots.append((dt - ttft)
+                                                 / (n_tok - 1))
+                    else:
+                        out = post(reqs[i])
+                        dt = time.perf_counter() - t0
+                        with lock:
+                            lat.append(dt)
+                            tokens.append(out["num_tokens"])
+                except Exception as e:          # noqa: BLE001
+                    log(f"request {i} failed: {e}")
+                    with lock:
+                        errs[0] += 1
 
-    t_run = time.perf_counter()
-    threads = [threading.Thread(target=worker)
-               for _ in range(args.concurrency)]
-    for th in threads:
-        th.start()
-    for th in threads:
-        th.join()
-    wall = time.perf_counter() - t_run
+        t_run = time.perf_counter()
+        threads = [threading.Thread(target=worker)
+                   for _ in range(conc)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        wall = time.perf_counter() - t_run
+        n = len(lat)
+        win = {
+            "concurrency": conc,
+            "requests": n,
+            "errors": errs[0],
+            "req_per_sec": round(n / wall, 3) if wall > 0 else 0.0,
+            "wall_s": round(wall, 2),
+            "agg_tok_s": round(sum(tokens) / wall, 2)
+            if wall > 0 else 0.0,
+            "latency_p50_s": pct(lat, 0.50),
+            "latency_p95_s": pct(lat, 0.95),
+        }
+        if ttfts:
+            win["ttft_p50_s"] = pct(ttfts, 0.50)
+            win["ttft_p95_s"] = pct(ttfts, 0.95)
+        if tpots:
+            win["per_token_p50_s"] = pct(tpots, 0.50)
+            win["per_token_p95_s"] = pct(tpots, 0.95)
+        log(f"conc={conc}: {win}")
+        return win
 
-    lat.sort()
-    n = len(lat)
+    windows = [run_window(c) for c in concurrency_levels]
+    best = max(windows, key=lambda w: w["req_per_sec"])
     result = {
         "metric": f"serve_{args.mode}_requests_per_sec",
-        "value": round(n / wall, 3) if wall > 0 else 0.0,
+        "value": best["req_per_sec"],
         "unit": "req/s",
         "mode": args.mode,
-        "requests": n,
-        "errors": errs[0],
-        "concurrency": args.concurrency,
         "quant": args.quant if not args.tiny else "",
+        "kv_quant": args.kv_quant if not args.tiny else "",
+        "prefill_chunk": args.prefill_chunk,
+        "stream": use_stream,
+        "mixed_prompts": args.mixed_prompts,
         "max_new_tokens": args.max_new_tokens,
-        "wall_s": round(wall, 2),
-        "agg_tok_s": round(sum(tokens) / wall, 2) if wall > 0 else 0.0,
-        "latency_p50_s": round(lat[n // 2], 3) if n else None,
-        "latency_p95_s": round(lat[min(n - 1, int(n * .95))], 3)
-        if n else None,
+        "windows": windows,
+        **{k: v for k, v in best.items() if k != "concurrency"},
+        "concurrency": best["concurrency"],
         "device": jax.devices()[0].platform,
     }
     print(json.dumps(result), flush=True)

@@ -57,6 +57,11 @@ def main():
     ap.add_argument("--n-lo", type=int, default=2)
     ap.add_argument("--n-hi", type=int, default=6)
     ap.add_argument("--remat", default="dots", choices=["", "dots", "full"])
+    ap.add_argument("--grad-accum-ladder", type=str, default="",
+                    help="comma list, e.g. 2,4,8: after the main "
+                         "measurement, time an optax.MultiSteps train "
+                         "step at each accumulation factor and report "
+                         "micro-step_ms per rung")
     ap.add_argument("--tiny", action="store_true",
                     help="CPU smoke mode: shrink every dim (validates the "
                          "script end-to-end, numbers meaningless)")
@@ -68,7 +73,18 @@ def main():
               "llm_layers": args.llm_layers, "det_size": args.det_size,
               "batch_size": args.bs, "remat": args.remat,
               "dtype": "bfloat16"}
+    try:
+        _run(args, result, out_path)
+    except BaseException as e:                       # noqa: B036
+        # emit-always contract (like bench.py): a mid-run crash after a
+        # 100+s compile must still leave a JSON with the error recorded
+        result["error"] = repr(e)[:500]
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=1)
+        raise
 
+
+def _run(args, result, out_path):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -100,6 +116,11 @@ def main():
             use_gdino=True,
             gdino=GDinoConfig(),                    # real dims, Swin-T, CDN
         )
+        result["tiny"] = False
+    # record the dims actually measured, not the CLI defaults (tiny mode
+    # shrinks every dim)
+    result["llm_layers"] = cfg.llm.num_layers
+    result["llm_width"] = cfg.llm.hidden_size
     tid = SpecialTokenIds.synthetic()
     model = VisionLLMWithTools(cfg, dtype=jnp.bfloat16,
                                tool_dtype=jnp.bfloat16)
@@ -219,11 +240,72 @@ def main():
 
     f_vis = dense_flops(lambda p: p.startswith("core/vis_encoder"),
                         B * (img_len + 1))
+    # embed_tokens is a gather, not a matmul — exclude it from the flop
+    # numerator (same convention as bench.py's p_llm - p_emb)
     f_llm = dense_flops(lambda p: p.startswith(("core/llm",
-                                                "core/vl_bridge")), B * L)
+                                                "core/vl_bridge"))
+                        and "embed_tokens" not in p, B * L)
     flops = 3 * (f_vis + f_llm)
     peak = 197e12 if result["device"] == "tpu" else float("inf")
     result["mfu_train_lower_bound"] = round(flops / step_s / peak, 4)
+
+    # ---------------- grad-accum ladder ------------------------------
+    # every rung is a full recompile (optax.MultiSteps changes the
+    # opt-state tree), so each reports its own micro-step time; the
+    # interesting number is the overhead vs the plain step (the
+    # accumulator add + the skipped optimizer update).
+    if args.grad_accum_ladder:
+        ladder = {}
+        for k in [int(v) for v in args.grad_accum_ladder.split(",")]:
+            try:
+                tx_k = build_optimizer(
+                    OptimizerConfig(total_steps=1000, grad_accum_steps=k),
+                    params, frozen=frozen)
+                state_k = jax.jit(lambda p, t=tx_k: TrainState.create(p, t)
+                                  )(state.params)
+                jax.block_until_ready(state_k.opt_state)
+                step_k = make_det_train_step(model, tx_k, tid)
+
+                def chained_k(n, st, batch, rng, _step=step_k):
+                    def body(s):
+                        i, st2, _ = s
+                        new_st, m = _step(st2, batch,
+                                          jax.random.fold_in(rng, i))
+                        return (i + 1, new_st, m["loss"])
+                    _, final, loss = jax.lax.while_loop(
+                        lambda s: s[0] < n, body,
+                        (jnp.zeros((), jnp.int32), st,
+                         jnp.zeros((), jnp.float32)))
+                    return final, loss
+
+                jit_k = jax.jit(chained_k, donate_argnums=(1,))
+                t = time.time()
+                state_k, lk = jit_k(jnp.asarray(1), state_k, batch,
+                                    jax.random.PRNGKey(7))
+                float(lk)
+                log(f"accum{k} compile+first {time.time()-t:.1f}s")
+                tms = {}
+                for n in (args.n_lo, args.n_hi):
+                    t = time.time()
+                    state_k, lk = jit_k(jnp.asarray(n), state_k, batch,
+                                        jax.random.PRNGKey(8 + n))
+                    float(lk)
+                    tms[n] = time.time() - t
+                micro_s = ((tms[args.n_hi] - tms[args.n_lo])
+                           / (args.n_hi - args.n_lo))
+                ladder[str(k)] = {
+                    "micro_step_ms": round(micro_s * 1e3, 1),
+                    "overhead_vs_plain": round(micro_s / step_s - 1, 3)}
+                log(f"accum{k} micro-step {micro_s*1e3:.1f} ms "
+                    f"({micro_s/step_s-1:+.1%} vs plain)")
+                for leaf in jax.tree.leaves(state_k.opt_state):
+                    if hasattr(leaf, "delete"):
+                        leaf.delete()
+            except Exception as e:                  # noqa: BLE001
+                ladder[str(k)] = {"error": str(e)[:200]}
+                log(f"accum{k} failed: {e}")
+        result["grad_accum_ladder"] = ladder
+
     result["total_s"] = round(time.time() - t0, 1)
 
     with open(out_path, "w") as f:
