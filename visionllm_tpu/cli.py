@@ -130,19 +130,84 @@ def _dataset_cfgs(args, default_type: str):
              "img_prefix": args.imgs, "test_mode": True}]
 
 
+def _slurm_head_node(node_list: str) -> str:
+    """First hostname of a slurm node list. Prefers `scontrol show
+    hostname` (authoritative expansion); falls back to parsing the
+    compressed form (e.g. "tpu-host-[3-5,9],other-1" -> "tpu-host-3")
+    when scontrol is unavailable on the host."""
+    import subprocess
+    try:
+        out = subprocess.run(
+            ["scontrol", "show", "hostname", node_list],
+            capture_output=True, text=True, timeout=10)
+        first = out.stdout.split()
+        if out.returncode == 0 and first:
+            return first[0]
+    except (OSError, subprocess.TimeoutExpired):
+        pass
+    head = node_list.split(",")[0]
+    if "[" in head:
+        prefix, rng = head.split("[", 1)
+        return prefix + rng.rstrip("]").split(",")[0].split("-")[0]
+    return head
+
+
+def dist_kwargs_from_env(environ) -> dict:
+    """jax.distributed.initialize kwargs from a scheduler environment.
+
+    The reference supports three launchers (visionllmv2/dist_utils.py:
+    33-104 — pytorch env://, OpenMPI, slurm); TPU pods autodetect, so
+    the explicit paths here cover the same non-pod launchers:
+      - slurm: SLURM_PROCID / SLURM_NTASKS / SLURM_NODELIST, coordinator
+        = first node of the list (dist_utils.py:67-104 semantics), port
+        from MASTER_PORT else 29500.
+      - OpenMPI: OMPI_COMM_WORLD_RANK / _SIZE + MASTER_ADDR
+        (dist_utils.py:58-64).
+      - torchrun-style env://: RANK / WORLD_SIZE / MASTER_ADDR.
+    Returns {} when no scheduler env is present (TPU-pod autodetect)."""
+    port = environ.get("MASTER_PORT", "29500")
+    if "SLURM_PROCID" in environ and "SLURM_NTASKS" in environ:
+        addr = environ.get("MASTER_ADDR") or _slurm_head_node(
+            environ["SLURM_NODELIST"])
+        return dict(coordinator_address=f"{addr}:{port}",
+                    num_processes=int(environ["SLURM_NTASKS"]),
+                    process_id=int(environ["SLURM_PROCID"]))
+    if "OMPI_COMM_WORLD_RANK" in environ:
+        if "MASTER_ADDR" not in environ:
+            raise KeyError(
+                "MPI launch: the environment variable MASTER_ADDR "
+                "is not set")
+        return dict(
+            coordinator_address=f"{environ['MASTER_ADDR']}:{port}",
+            num_processes=int(environ["OMPI_COMM_WORLD_SIZE"]),
+            process_id=int(environ["OMPI_COMM_WORLD_RANK"]))
+    if "RANK" in environ and "WORLD_SIZE" in environ \
+            and "MASTER_ADDR" in environ:
+        return dict(
+            coordinator_address=f"{environ['MASTER_ADDR']}:{port}",
+            num_processes=int(environ["WORLD_SIZE"]),
+            process_id=int(environ["RANK"]))
+    return {}
+
+
 def _maybe_init_distributed(args) -> None:
     """Multi-host: every host runs the same command; jax.distributed
     wires the processes together (see docs/MULTIHOST.md). On TPU pods
     initialize() autodetects coordinator/count/id from the TPU
-    metadata; elsewhere pass the three flags explicitly."""
+    metadata; under slurm/MPI/torchrun the scheduler env supplies them
+    (dist_kwargs_from_env); elsewhere pass the three flags
+    explicitly."""
     if not getattr(args, "distributed", False):
         return
+    import os
+
     import jax
-    kwargs = {}
     if args.coordinator:
         kwargs = dict(coordinator_address=args.coordinator,
                       num_processes=args.num_processes,
                       process_id=args.process_id)
+    else:
+        kwargs = dist_kwargs_from_env(os.environ)
     jax.distributed.initialize(**kwargs)
 
 
