@@ -22,13 +22,23 @@ jax.config.update("jax_platforms", "cpu")
 # Parity tests compare fp32 against torch-CPU references; make XLA use
 # true fp32 matmuls (the default "bfloat16_3x"-style passes lose ~1e-3).
 jax.config.update("jax_default_matmul_precision", "highest")
-# Persistent compilation cache: the sharded train-step tests alone cost
-# minutes of XLA CPU compile on this host; warm reruns are near-instant.
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# Persistent compilation cache: OPT-IN ONLY (VISIONLLM_TEST_CACHE=1).
+# Warm reruns of compile-heavy tests are near-instant with it, but on
+# this host XLA:CPU AOT cache reloads record compile-machine
+# pseudo-features (+prefer-no-gather/scatter) that the load-time check
+# doesn't report, and the re-loaded MULTI-DEVICE executables then lose a
+# device thread inside a collective -> 40 s rendezvous abort (SIGABRT,
+# reproduced 3/3 warm on __graft_entry__'s pose task, 0/3 cold). A
+# single pytest process never re-loads entries it wrote itself (the
+# in-memory executable cache wins), so first runs are safe either way;
+# re-runs with a warm cache are not.
+if os.environ.get("VISIONLLM_TEST_CACHE") == "1":
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def pytest_configure(config):

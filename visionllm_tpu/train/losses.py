@@ -241,8 +241,6 @@ def detection_loss(
             rng, jax.lax.stop_gradient(matched_masks), cfg.num_mask_points,
             cfg.oversample_ratio, cfg.importance_sample_ratio)
         pred_pts = point_sample(matched_masks, pts)
-        with jax.ensure_compile_time_eval():
-            pass
         tgt_pts = point_sample(targets["masks"].astype(jnp.float32),
                                jax.lax.stop_gradient(pts))
         tgt_pts = jax.lax.stop_gradient(tgt_pts)
