@@ -599,3 +599,38 @@ def test_overload_sheds_with_503():
     # submissions during a multi-second compile, at least one sheds
     assert ok["n"] >= 1
     assert ok["n"] < 6
+
+
+def test_spec_auto_disable_on_low_acceptance():
+    """VERDICT r4: a spec service whose measured tokens-per-window sits
+    below break-even must fall back to the plain decode loop — and keep
+    answering identically."""
+    cfg = tiny_test_config(use_gdino=False, use_unipose=False,
+                           use_sd=False, use_ip2p=False,
+                           use_region_encoder=False)
+    tok = MockTokenizer()
+    svc = ChatService(cfg, None, tok,
+                      image_size=cfg.vis_encoder.image_size,
+                      max_new_tokens=8, max_prompt=128, spec_k=3,
+                      dtype=jnp.float32)
+    size = cfg.vis_encoder.image_size
+    img_len = (size // 14) ** 2
+    ids = jnp.asarray([[1] + [svc.tid.imp] * img_len + [5, 6]],
+                      jnp.int32)
+    svc.params = svc.core.init(
+        jax.random.PRNGKey(7), ids,
+        jnp.zeros((1, size, size, 3), jnp.float32), svc.tid)["params"]
+    # force the trip: any real acceptance is below an impossible
+    # break-even once the window minimum is met
+    svc.SPEC_MIN_WINDOWS = 1
+    svc.SPEC_BREAK_EVEN = 99.0
+    a = svc.generate("what is shown here")
+    assert svc._spec_disabled
+    assert svc.spec_k == 0
+    m = svc.metrics()
+    assert m["spec_disabled"] is True
+    assert m["spec_windows_total"] >= 1
+    assert m["spec_tokens_per_window"] >= 0
+    # the plain loop (compiled lazily on the swap) answers identically
+    b = svc.generate("what is shown here")
+    assert a["text"] == b["text"]

@@ -125,7 +125,13 @@ def test_repetitive_prompt_accepts_drafts(setup):
     ids = jnp.asarray([[1] + [TID.imp] * img_len + phrase], jnp.int32)
     spec = build_speculative_generate_fn(
         model, TID, max_new_tokens=MAX_NEW, max_len=128, k_draft=7)
-    _assert_same(ref(params, ids, imgs), spec(params, ids, imgs))
+    out = spec(params, ids, imgs)
+    _assert_same(ref(params, ids, imgs), out)
+    # acceptance accounting (serving auto-disable): windows reported,
+    # and windows never exceed decoded tokens (first token is free)
+    n_gen = int(out["num_generated"])
+    n_win = int(out["num_windows"])
+    assert 1 <= n_win <= max(n_gen - 1, 1), (n_win, n_gen)
 
 
 def test_left_padded_matches_unpadded(setup):

@@ -333,6 +333,7 @@ class SpecDecodeState:
     emb_kind: jnp.ndarray       # scalar int32
     done: jnp.ndarray           # scalar bool
     out_logprobs: jnp.ndarray = None  # [1, out_buf] f32
+    n_windows: jnp.ndarray = None  # scalar int32 — verify windows run
 
 
 def build_speculative_generate_fn(
@@ -520,6 +521,7 @@ def build_speculative_generate_fn(
             emb_kind=kind_new,
             done=state.done | (t_last == eos_id),
             out_logprobs=out_logprobs,
+            n_windows=state.n_windows + 1,
         )
 
     def generate(params, input_ids: jnp.ndarray,
@@ -572,6 +574,7 @@ def build_speculative_generate_fn(
             out_logprobs=jnp.zeros((1, out_buf), jnp.float32
                                    ).at[:, 0].set(
                 _token_logprob(logits[:, -1, :], first)),
+            n_windows=jnp.zeros((), jnp.int32),
         )
 
         def cond(s: SpecDecodeState):
@@ -595,6 +598,10 @@ def build_speculative_generate_fn(
                 "out_logprobs": jnp.where(
                     valid, state.out_logprobs[:, :max_new_tokens], 0.0),
                 "num_generated": n,
+                # acceptance accounting for the serving auto-disable:
+                # tokens-per-window = (step) / n_windows (the prefill's
+                # first token is free — not a window)
+                "num_windows": state.n_windows,
                 "cache": state.cache}
 
     return jax.jit(generate)

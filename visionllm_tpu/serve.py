@@ -38,6 +38,7 @@ from __future__ import annotations
 import base64
 import json
 import queue
+import sys
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -227,6 +228,14 @@ class ChatService:
             loop = self._dispatch_loop
         self.sampling = sampling
         self._seed_counter = 0
+        # acceptance accounting for spec auto-disable: spec only wins
+        # while tokens-per-window clears the window cost (~1.03x a plain
+        # step — bench.py spec_window_cost_vs_step); persistently
+        # sub-break-even acceptance flips this service to the plain
+        # decode loop (_track_spec_acceptance)
+        self._spec_tokens = 0
+        self._spec_windows = 0
+        self._spec_disabled = False
         # serving counters (GET /metrics); ints/floats mutated under the
         # GIL from the dispatcher + request threads — reads are
         # monotonic-ish snapshots, which is all a scrape needs
@@ -243,6 +252,41 @@ class ChatService:
             maxsize=max_queue)
         self._dispatcher = threading.Thread(target=loop, daemon=True)
         self._dispatcher.start()
+
+    # spec auto-disable thresholds: a verify window costs ~1.03x a plain
+    # decode step (bench.py spec_window_cost_vs_step), so spec breaks
+    # even at ~1.03 accepted tokens/window; require a 10% margin over a
+    # meaningful sample before giving up on the drafter
+    SPEC_MIN_WINDOWS = 64
+    SPEC_BREAK_EVEN = 1.15
+
+    def _track_spec_acceptance(self, n_gen: int, n_windows: int) -> None:
+        """VERDICT r3 #5: measure the drafter's real acceptance and fall
+        back to the plain decode loop when spec is a net loss. The first
+        token comes from the prefill (free), so tokens-per-window is
+        (n_gen - 1) / windows; 1.0 means the drafter never helps."""
+        self._spec_tokens += max(n_gen - 1, 0)
+        self._spec_windows += max(n_windows, 0)
+        if (self._spec_disabled
+                or self._spec_windows < self.SPEC_MIN_WINDOWS):
+            return
+        accept = self._spec_tokens / self._spec_windows
+        if accept >= self.SPEC_BREAK_EVEN:
+            return
+        from visionllm_tpu.generation import build_generate_fn
+        print(f"[serve] speculative decoding disabled: measured "
+              f"{accept:.2f} tokens/window over {self._spec_windows} "
+              f"windows (< break-even {self.SPEC_BREAK_EVEN}); "
+              "switching to the plain decode loop", file=sys.stderr,
+              flush=True)
+        # sampling and spec are mutually exclusive (ctor check), so the
+        # plain fn is greedy like the spec one; compiles on first use
+        self.generate_fn = build_generate_fn(
+            self.core, self.tid, max_new_tokens=self.max_new_tokens,
+            eos_id=self.eos_id,
+            max_len=self.max_prompt + self.max_new_tokens + 8)
+        self._spec_disabled = True
+        self.spec_k = 0
 
     def _submit(self, req: "_Request") -> None:
         try:
@@ -267,6 +311,11 @@ class ChatService:
         s["mode"] = ("slots" if self.slots > 0 else
                      "speculative" if self.spec_k > 0 else
                      f"batch{self.max_batch}")
+        if self.spec_k > 0 or self._spec_disabled:
+            s["spec_tokens_per_window"] = round(
+                self._spec_tokens / max(self._spec_windows, 1), 3)
+            s["spec_windows_total"] = self._spec_windows
+            s["spec_disabled"] = self._spec_disabled
         return s
 
     # ---- request assembly (caller thread) ----
@@ -894,6 +943,8 @@ class ChatService:
                                    attn_mask=jnp.asarray(mask),
                                    live=jnp.asarray(live), **reg_kw)
         n_gen = int(out["num_generated"])
+        if self.spec_k > 0:
+            self._track_spec_acceptance(n_gen, int(out["num_windows"]))
         toks = np.asarray(out["out_tokens"][:, :n_gen])
         lps = np.asarray(out["out_logprobs"][:, :n_gen])
         results = []
