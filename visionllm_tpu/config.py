@@ -122,6 +122,11 @@ class GDinoConfig:
     num_mask_points: int = 12544
     oversample_ratio: float = 3.0
     importance_sample_ratio: float = 0.75
+    # rematerialize encoder/decoder layers in the backward pass
+    # ("" off | "dots" keep matmul outputs | "full" recompute all);
+    # trades ~1/3 more flops for O(layers) less activation memory —
+    # needed to train at >=640 px on one 16 GB chip
+    remat: str = ""
 
 
 @dataclass(frozen=True)

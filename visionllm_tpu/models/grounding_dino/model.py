@@ -31,6 +31,7 @@ from visionllm_tpu.models.grounding_dino.layers import (
 from visionllm_tpu.models.swin import (SwinBackbone, swin_large_config,
                                        swin_tiny_config)
 from visionllm_tpu.ops.box_ops import inverse_sigmoid
+from visionllm_tpu.utils.static_arg import Static, unwrap
 
 
 def generate_masks_with_text_query_masks(
@@ -58,6 +59,7 @@ class GDinoEncoderLayer(nn.Module):
                  reference_points, vision_pad_mask, text_pad_mask,
                  text_self_attn_mask, text_pos):
         cfg = self.cfg
+        spatial_shapes = unwrap(spatial_shapes)
         vision, text = FusionLayer(
             cfg.d_model, cfg.ffn_dim // 2, cfg.num_heads // 2, self.dtype,
             name="fusion_layer")(
@@ -88,6 +90,7 @@ class GDinoDecoderLayer(nn.Module):
                  spatial_shapes, vision, vision_valid_mask, text,
                  text_pad_mask, self_attn_mask):
         cfg = self.cfg
+        spatial_shapes = unwrap(spatial_shapes)
         q = hidden + query_pos
         attn = TorchMHA(cfg.d_model, cfg.num_heads, self.dtype,
                         name="self_attn")(
@@ -191,11 +194,22 @@ class GroundingDino(nn.Module):
             "level_embed", nn.initializers.normal(1.0),
             (cfg.num_feature_levels, cfg.d_model), jnp.float32)
 
+        enc_cls, dec_cls = GDinoEncoderLayer, GDinoDecoderLayer
+        if cfg.remat:
+            # lifted remat keeps the scope name, so param paths (and
+            # therefore checkpoint converters) are unchanged.
+            # spatial_shapes rides through as a Static treedef value.
+            policy = (jax.checkpoint_policies.checkpoint_dots
+                      if cfg.remat == "dots" else None)
+            enc_cls = nn.remat(GDinoEncoderLayer, policy=policy,
+                               prevent_cse=False)
+            dec_cls = nn.remat(GDinoDecoderLayer, policy=policy,
+                               prevent_cse=False)
         self.encoder_layers = [
-            GDinoEncoderLayer(cfg, self.dtype, name=f"encoder_layer_{i}")
+            enc_cls(cfg, self.dtype, name=f"encoder_layer_{i}")
             for i in range(cfg.encoder_layers)]
         self.decoder_layers = [
-            GDinoDecoderLayer(cfg, self.dtype, name=f"decoder_layer_{i}")
+            dec_cls(cfg, self.dtype, name=f"decoder_layer_{i}")
             for i in range(cfg.decoder_layers)]
         self.decoder_norm = nn.LayerNorm(dtype=self.dtype,
                                          name="decoder_layer_norm")
@@ -358,7 +372,8 @@ class GroundingDino(nn.Module):
         for layer in self.encoder_layers:
             vision, text = layer(
                 vision, text, vision_pos=pos_flat,
-                spatial_shapes=spatial_shapes, reference_points=ref_pts,
+                spatial_shapes=Static(spatial_shapes),
+                reference_points=ref_pts,
                 vision_pad_mask=vision_pad, text_pad_mask=text_pad,
                 text_self_attn_mask=text_self_attn_mask, text_pos=text_pos)
 
@@ -410,7 +425,7 @@ class GroundingDino(nn.Module):
             query_pos = self.reference_points_head(query_sine)
             hidden = layer(
                 hidden, query_pos=query_pos, reference_points=ref_input,
-                spatial_shapes=spatial_shapes, vision=vision,
+                spatial_shapes=Static(spatial_shapes), vision=vision,
                 vision_valid_mask=mask_flat, text=text,
                 text_pad_mask=text_pad, self_attn_mask=self_attn_mask)
             delta = self.bbox_embed(hidden)
