@@ -259,3 +259,71 @@ def test_grad_accumulation_sharded():
             jax.tree_util.tree_leaves(jax.device_get(done.params)),
             jax.tree_util.tree_leaves(params)))
     assert moved > 0, "accumulated step never applied"
+
+
+@pytest.mark.slow
+def test_frozen_split_matches_full_tree_grads():
+    """frozen-split mode (trainable-only diff; train_step.split_frozen)
+    must produce the SAME parameters after a step as the full-tree mode
+    with the optimizer's zero-frozen group — while keeping the frozen
+    leaves byte-identical and the optimizer state O(trainable)."""
+    from visionllm_tpu.train.train_step import split_frozen
+
+    model = VisionLLMWithTools(CFG, dtype=jnp.float32,
+                               tool_dtype=jnp.float32)
+    batch = _det_batch(2)
+    params = model.init(jax.random.PRNGKey(0), batch, TID)["params"]
+
+    def frozen(path):
+        # reference stage-1: vision encoder + LLM frozen
+        return path.startswith(("core/vis_encoder", "core/llm"))
+
+    opt = dict(learning_rate=1e-3, schedule="constant", total_steps=10)
+
+    # full-tree mode: grads computed everywhere, frozen group zeroed
+    tx_full = build_optimizer(OptimizerConfig(**opt), params,
+                              frozen=frozen)
+    s_full = TrainState.create(params, tx_full)
+    step_full = jax.jit(make_det_train_step(model, tx_full, TID))
+    s_full, m_full = step_full(s_full, batch, jax.random.PRNGKey(1))
+
+    # split mode: optimizer + grads over the trainable subtree only
+    train_tree, _ = split_frozen(params, frozen)
+    tx_split = build_optimizer(OptimizerConfig(**opt), train_tree)
+    s_split = TrainState.create(params, tx_split, frozen=frozen)
+    step_split = jax.jit(make_det_train_step(model, tx_split, TID,
+                                             frozen=frozen))
+    s_split, m_split = step_split(s_split, batch, jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(float(m_full["loss"]),
+                               float(m_split["loss"]), rtol=1e-6)
+
+    # optimizer state is trainable-only in BOTH modes (multi_transform's
+    # set_to_zero group stores no Adam moments), so sizes must agree;
+    # the split mode's savings are in the gradient buffers + the pruned
+    # frozen-prefix backward, proven by the identical-params check below
+    size = lambda t: sum(np.prod(np.shape(x))           # noqa: E731
+                         for x in jax.tree.leaves(t))
+    assert size(s_split.opt_state) == size(s_full.opt_state)
+    n_trainable = sum(np.prod(np.shape(x))
+                      for x in jax.tree.leaves(train_tree))
+    # mu + nu (+ per-group counts): ~2x trainable, nowhere near 2x total
+    assert size(s_split.opt_state) < 2.5 * n_trainable
+
+    flat_ref = dict(jax.tree_util.tree_leaves_with_path(params))
+    flat_full = dict(jax.tree_util.tree_leaves_with_path(s_full.params))
+    flat_split = dict(jax.tree_util.tree_leaves_with_path(s_split.params))
+    assert flat_full.keys() == flat_split.keys()
+    checked_frozen = checked_train = 0
+    for path, a in flat_full.items():
+        b, p0 = flat_split[path], flat_ref[path]
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        if frozen(name):
+            np.testing.assert_array_equal(np.asarray(b), np.asarray(p0),
+                                          err_msg=name)
+            checked_frozen += 1
+        else:
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7, err_msg=name)
+            checked_train += 1
+    assert checked_frozen > 0 and checked_train > 0

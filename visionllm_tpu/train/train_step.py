@@ -123,25 +123,90 @@ def build_optimizer(cfg: OptimizerConfig, params: Any,
     return tx
 
 
+def split_frozen(params, frozen: Callable[[str], bool]) -> Tuple[Any, Any]:
+    """Split a param tree into (trainable, frozen) trees, with None at
+    the complementary positions.
+
+    None is an empty pytree: the trainable tree induces NO gradient
+    buffers, optimizer state, or backward compute for frozen leaves —
+    the memory/flops semantics of the reference's requires_grad=False
+    freezing (train/train.py:533-558), which torch autograd honors but
+    a whole-tree `jax.grad` does not."""
+    def pick(keep_frozen):
+        return jax.tree_util.tree_map_with_path(
+            lambda p, x: x if frozen(_path_str(p)) == keep_frozen
+            else None, params)
+    return pick(False), pick(True)
+
+
+def merge_frozen(trainable, frozen_tree):
+    """Inverse of split_frozen (None-for-None positional merge)."""
+    return jax.tree.map(lambda a, b: b if a is None else a,
+                        trainable, frozen_tree,
+                        is_leaf=lambda x: x is None)
+
+
 class TrainState(struct.PyTreeNode):
     step: jnp.ndarray
     params: Any
     opt_state: Any
 
     @classmethod
-    def create(cls, params, tx):
+    def create(cls, params, tx, frozen=None):
+        """With `frozen`, optimizer state covers only the trainable
+        subtree (pass the same predicate to make_*_train_step, and build
+        `tx` over split_frozen(params, frozen)[0])."""
+        target = split_frozen(params, frozen)[0] if frozen else params
         return cls(step=jnp.zeros((), jnp.int32), params=params,
-                   opt_state=tx.init(params))
+                   opt_state=tx.init(target))
+
+
+def _make_step(loss_fn, tx, frozen=None):
+    """step(state, batch, rng) from loss_fn(params, batch, rng).
+
+    frozen=None differentiates the whole param tree (grads for frozen
+    leaves are computed then zeroed by the optimizer's `frozen` group —
+    simple, but costs a full-tree gradient buffer plus backward flops
+    through modules with no trainable ancestor). With a `frozen` path
+    predicate, only the trainable subtree is differentiated: XLA prunes
+    the backward of frozen-only prefixes (e.g. the vision encoder)
+    entirely and the gradient/optimizer memory is O(trainable)."""
+    if frozen is None:
+        def step(state: TrainState, batch, rng=None):
+            (_, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, batch, rng)
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = optax.apply_updates(state.params, updates)
+            return state.replace(step=state.step + 1, params=params,
+                                 opt_state=opt_state), metrics
+        return step
+
+    def step(state: TrainState, batch, rng=None):
+        train_p, frozen_p = split_frozen(state.params, frozen)
+
+        def train_loss(tp, batch, rng):
+            return loss_fn(merge_frozen(tp, frozen_p), batch, rng)
+
+        (_, metrics), grads = jax.value_and_grad(
+            train_loss, has_aux=True)(train_p, batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, train_p)
+        params = merge_frozen(optax.apply_updates(train_p, updates),
+                              frozen_p)
+        return state.replace(step=state.step + 1, params=params,
+                             opt_state=opt_state), metrics
+    return step
 
 
 def make_det_train_step(
     model: VisionLLMWithTools,
     tx: optax.GradientTransformation,
     tid: SpecialTokenIds,
+    frozen: Optional[Callable[[str], bool]] = None,
 ):
     """Returns step(state, batch, rng) -> (state, metrics) for det/grd/seg
     batches: LM CE + Hungarian-matched gdino losses (reference call stack
-    SURVEY.md §3.1)."""
+    SURVEY.md §3.1). See _make_step for `frozen` semantics."""
     gcfg = model.cfg.gdino
 
     def loss_fn(params, batch, rng):
@@ -178,16 +243,7 @@ def make_det_train_step(
                         if not ("aux" in k or "enc" in k)})
         return loss, metrics
 
-    def step(state: TrainState, batch, rng):
-        (_, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, batch, rng)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        new_state = state.replace(step=state.step + 1, params=params,
-                                  opt_state=opt_state)
-        return new_state, metrics
-
-    return step
+    return _make_step(loss_fn, tx, frozen)
 
 
 def make_pose_train_step(
@@ -195,6 +251,7 @@ def make_pose_train_step(
     tx: optax.GradientTransformation,
     tid: SpecialTokenIds,
     num_obj_patches: int,
+    frozen: Optional[Callable[[str], bool]] = None,
 ):
     """Pose batches: LM CE + UniPose Hungarian losses with OKS
     (reference call stack SURVEY.md §3.4). Targets: labels/boxes/
@@ -231,20 +288,13 @@ def make_pose_train_step(
         metrics.update({k: v for k, v in detail.items() if "aux" not in k})
         return loss, metrics
 
-    def step(state: TrainState, batch, rng):
-        (_, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, batch, rng)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        return state.replace(step=state.step + 1, params=params,
-                             opt_state=opt_state), metrics
-
-    return step
+    return _make_step(loss_fn, tx, frozen)
 
 
 def make_gen_train_step(model: VisionLLMWithTools,
                         tx: optax.GradientTransformation,
-                        tid: SpecialTokenIds, edit: bool = False):
+                        tid: SpecialTokenIds, edit: bool = False,
+                        frozen: Optional[Callable[[str], bool]] = None):
     """[GEN]/[EDIT] batches: LM CE + diffusion eps-prediction loss
     (reference call stack SURVEY.md §3.5)."""
     method = (VisionLLMWithTools.forward_edit if edit
@@ -260,34 +310,19 @@ def make_gen_train_step(model: VisionLLMWithTools,
             metrics["caption_loss"] = out[key]["caption_loss"]
         return out["loss"], metrics
 
-    def step(state: TrainState, batch, rng):
-        (_, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, batch, rng)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        return state.replace(step=state.step + 1, params=params,
-                             opt_state=opt_state), metrics
-
-    return step
+    return _make_step(loss_fn, tx, frozen)
 
 
 def make_chat_train_step(model: VisionLLMWithTools,
                          tx: optax.GradientTransformation,
-                         tid: SpecialTokenIds):
-    def loss_fn(params, batch):
+                         tid: SpecialTokenIds,
+                         frozen: Optional[Callable[[str], bool]] = None):
+    def loss_fn(params, batch, rng=None):
         out = model.apply({"params": params}, batch, tid,
                           method=VisionLLMWithTools.forward_chat)
         return out["loss"], {"loss": out["loss"]}
 
-    def step(state: TrainState, batch, rng=None):
-        (_, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, batch)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        return state.replace(step=state.step + 1, params=params,
-                             opt_state=opt_state), metrics
-
-    return step
+    return _make_step(loss_fn, tx, frozen)
 
 
 def shard_train_step(step_fn, mesh, state: TrainState, batch,
