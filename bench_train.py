@@ -52,7 +52,7 @@ def log(msg):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--llm-layers", type=int, default=8)
-    ap.add_argument("--det-size", type=int, default=512)
+    ap.add_argument("--det-size", type=int, default=640)
     ap.add_argument("--bs", type=int, default=1)
     ap.add_argument("--n-lo", type=int, default=2)
     ap.add_argument("--n-hi", type=int, default=6)
@@ -95,7 +95,8 @@ def _run(args, result, out_path):
     from visionllm_tpu.models.visionllm import SpecialTokenIds
     from visionllm_tpu.train.train_step import (OptimizerConfig, TrainState,
                                                 build_optimizer,
-                                                make_det_train_step)
+                                                make_det_train_step,
+                                                split_frozen)
 
     result["device"] = jax.devices()[0].platform
     t0 = time.time()
@@ -114,7 +115,9 @@ def _run(args, result, out_path):
                           remat=args.remat),
             vl_bridge_type="mlp2x_gelu",
             use_gdino=True,
-            gdino=GDinoConfig(),                    # real dims, Swin-T, CDN
+            # real dims, Swin-T, CDN; remat the 6+6 deformable stacks too —
+            # at >=640 px their activations dominate the 16 GB chip
+            gdino=GDinoConfig(remat=args.remat),
         )
         result["tiny"] = False
     # record the dims actually measured, not the CLI defaults (tiny mode
@@ -187,11 +190,18 @@ def _run(args, result, out_path):
     result["params_b"] = round(n_all / 1e9, 3)
     result["trainable_b"] = round((n_all - n_frozen) / 1e9, 3)
 
-    tx = build_optimizer(OptimizerConfig(total_steps=1000), params,
-                         frozen=frozen)
-    state = jax.jit(lambda p: TrainState.create(p, tx))(params)
+    # frozen-split mode: gradients/optimizer state exist only for the
+    # trainable subtree; XLA prunes the frozen-only ViT backward
+    # entirely (the reference's requires_grad=False memory semantics)
+    train_tree, _ = split_frozen(params, frozen)
+    tx = build_optimizer(OptimizerConfig(total_steps=1000), train_tree)
+    # donate: params would otherwise stay alive as a second full copy of
+    # the model (4.5 GB at 7B-width dims). `params` keeps aval metadata,
+    # which is all _count/dense_flops need afterwards.
+    state = jax.jit(lambda p: TrainState.create(p, tx, frozen=frozen),
+                    donate_argnums=0)(params)
     jax.block_until_ready(state.opt_state)
-    step = make_det_train_step(model, tx, tid)
+    step = make_det_train_step(model, tx, tid, frozen=frozen)
 
     def chained(n, state, batch, rng):
         def cond(s):
@@ -218,6 +228,13 @@ def _run(args, result, out_path):
     assert np.isfinite(loss), loss
     log(f"compile+first step {result['compile_plus_first_step_s']}s "
         f"loss={loss:.4f}")
+    try:
+        ms = jax.devices()[0].memory_stats() or {}
+        result["hbm_peak_gb"] = round(
+            ms.get("peak_bytes_in_use", 0) / 2**30, 2)
+        log(f"hbm peak {result['hbm_peak_gb']} GiB")
+    except Exception:   # noqa: BLE001 — relay may not expose stats
+        pass
 
     times = {}
     for n in (args.n_lo, args.n_hi):
@@ -232,8 +249,12 @@ def _run(args, result, out_path):
     result["value"] = round(step_s * 1e3, 1)
     result["images_per_sec_chip"] = round(B / step_s, 3)
 
-    # Analytic fwd+bwd flop model of the trunk only (vision + bridge +
-    # LLM); backward ~2x forward, so 3x total. gdino + Swin excluded ->
+    # Analytic flop model of the trunk only (vision + bridge + LLM),
+    # honest about what frozen-split actually computes per matmul
+    # (fwd = 2pT): frozen ViT has NO backward (nothing trainable
+    # upstream) -> 1x; frozen LLM needs input-cotangents dX to reach
+    # the trainable bridge/gdino below, but no dW -> 2x; trainable
+    # bridge does fwd+dX+dW -> 3x. gdino + Swin flops excluded ->
     # lower bound (bench.py convention).
     def dense_flops(tree_pred, tokens):
         return 2 * _count(params, tree_pred) * tokens
@@ -242,10 +263,14 @@ def _run(args, result, out_path):
                         B * (img_len + 1))
     # embed_tokens is a gather, not a matmul — exclude it from the flop
     # numerator (same convention as bench.py's p_llm - p_emb)
-    f_llm = dense_flops(lambda p: p.startswith(("core/llm",
-                                                "core/vl_bridge"))
+    f_llm = dense_flops(lambda p: p.startswith("core/llm")
                         and "embed_tokens" not in p, B * L)
-    flops = 3 * (f_vis + f_llm)
+    f_bridge = dense_flops(lambda p: p.startswith("core/vl_bridge"),
+                           B * img_len)
+    flops = 1 * f_vis + 2 * f_llm + 3 * f_bridge
+    result["flop_model"] = ("fwd-only frozen ViT (1x), fwd+dX frozen "
+                            "LLM (2x), fwd+dX+dW trainable bridge (3x); "
+                            "gdino/Swin excluded")
     peak = 197e12 if result["device"] == "tpu" else float("inf")
     result["mfu_train_lower_bound"] = round(flops / step_s / peak, 4)
 
@@ -256,15 +281,23 @@ def _run(args, result, out_path):
     # accumulator add + the skipped optimizer update).
     if args.grad_accum_ladder:
         ladder = {}
+        # the plain step's Adam moments stay resident otherwise and the
+        # first rung OOMs before its own state even allocates
+        for leaf in jax.tree.leaves(state.opt_state):
+            if hasattr(leaf, "delete"):
+                leaf.delete()
+        params_live = state.params
         for k in [int(v) for v in args.grad_accum_ladder.split(",")]:
             try:
                 tx_k = build_optimizer(
                     OptimizerConfig(total_steps=1000, grad_accum_steps=k),
-                    params, frozen=frozen)
-                state_k = jax.jit(lambda p, t=tx_k: TrainState.create(p, t)
-                                  )(state.params)
+                    train_tree)
+                state_k = jax.jit(
+                    lambda p, t=tx_k: TrainState.create(p, t, frozen=frozen)
+                )(params_live)
                 jax.block_until_ready(state_k.opt_state)
-                step_k = make_det_train_step(model, tx_k, tid)
+                step_k = make_det_train_step(model, tx_k, tid,
+                                             frozen=frozen)
 
                 def chained_k(n, st, batch, rng, _step=step_k):
                     def body(s):
