@@ -126,7 +126,8 @@ def main():
             slope("swin_bwd", swin_bwd, sp)
 
     # ---------------- msda op ----------------------------------------
-    if want("msda_fwd") or want("msda_bwd"):
+    if any(want(x) for x in ("msda_fwd", "msda_bwd", "msda_bwd_v",
+                             "msda_bwd_l", "msda_bwd_w", "msda_ref_bwd")):
         # encoder self-attn shapes at det px: S queries == S values
         shapes = tuple((det // s, det // s) for s in (8, 16, 32, 64))
         S = sum(h * w for h, w in shapes)
@@ -177,6 +178,26 @@ def main():
             slope("msda_ref_bwd", mk_bwd((0, 1, 2),
                                          ms_deform_attn_reference), VLW)
 
+    # ---------------- hungarian alone ---------------------------------
+    if want("hungarian1") or want("hungarian7"):
+        from visionllm_tpu.train.losses import hungarian_match
+        cost1 = jnp.asarray(rng_np.standard_normal((B, 900, N_t)),
+                            jnp.float32)
+        cost7 = jnp.asarray(rng_np.standard_normal((7, B, 900, N_t)),
+                            jnp.float32)
+        if want("hungarian1"):
+            def h1(c, cm):
+                return hungarian_match(cm * (1 + c * 1e-20)).astype(
+                    jnp.float32)
+            slope("hungarian1", h1, cost1)
+        if want("hungarian7"):
+            def h7(c, cm):
+                # all aux-layer matchings in ONE vmapped solve (lockstep
+                # while_loops) instead of 7 serial solver calls
+                flat = (cm * (1 + c * 1e-20)).reshape(7 * B, 900, N_t)
+                return hungarian_match(flat).astype(jnp.float32)
+            slope("hungarian7", h7, cost7)
+
     # ---------------- gdino + losses ---------------------------------
     need_gdino = any(want(x) for x in
                      ("gdino_fwd", "gdino_bwd", "loss_fwd", "loss_bwd",
@@ -219,7 +240,7 @@ def main():
         def full_loss(out, rng):
             det_outputs = {k: out[k] for k in
                            ("all_logits", "all_boxes", "all_masks",
-                            "enc_logits", "enc_boxes")}
+                            "enc_logits", "enc_boxes") if k in out}
             det_outputs["text_mask"] = text_mask
             total, _ = detection_loss_with_aux(det_outputs, targets,
                                                cfg=cfg, rng=rng)

@@ -81,26 +81,52 @@ def lm_cross_entropy(logits: Array, labels: Array,
 # point sampling (Mask2Former-style, reference :3313-3319, :3425-3446)
 # ---------------------------------------------------------------------------
 
-def point_sample(masks: Array, points: Array) -> Array:
-    """Bilinear sample [.., H, W] masks at normalized [.., P, 2] (x, y)
-    points, torch grid_sample(align_corners=False) semantics."""
+def _point_sample_chunk(masks: Array, points: Array) -> Array:
+    """Dense separable bilinear sampling for one chunk of points.
+
+    TPU-first: a bilinear tap has 2 nonzero weights per axis, so
+    sampling factors into ``By[p,:] @ M @ Bx[p,:]^T`` with dense
+    ``[P, H]``/``[P, W]`` hat-basis matrices ``max(0, 1-|coord-i|)``
+    (zero outside the grid ⇒ grid_sample zero-padding exactly). Both
+    einsums run on the MXU and their transposes (the backward) are
+    matmuls too. The gather formulation this replaces ran at
+    element-gather speed forward and SCATTER-ADD speed backward —
+    measured 372 ms fwd / ~430 ms bwd per det train step at 512 px
+    (6 layers × 20 masks × 37632+12544 points) vs ~5 ms dense."""
     H, W = masks.shape[-2:]
-    x = points[..., 0] * W - 0.5
-    y = points[..., 1] * H - 0.5
-    x0, y0 = jnp.floor(x), jnp.floor(y)
-    fx, fy = x - x0, y - y0
-    out = 0.0
-    for dy in (0, 1):
-        for dx in (0, 1):
-            xi = jnp.clip(x0 + dx, 0, W - 1).astype(jnp.int32)
-            yi = jnp.clip(y0 + dy, 0, H - 1).astype(jnp.int32)
-            inb = ((x0 + dx >= 0) & (x0 + dx <= W - 1)
-                   & (y0 + dy >= 0) & (y0 + dy <= H - 1))
-            w = (fx if dx else 1 - fx) * (fy if dy else 1 - fy)
-            flat = masks.reshape(*masks.shape[:-2], H * W)
-            g = jnp.take_along_axis(flat, (yi * W + xi), axis=-1)
-            out = out + jnp.where(inb, w, 0.0) * g
-    return out
+    x = points[..., 0].astype(jnp.float32) * W - 0.5      # [..., P]
+    y = points[..., 1].astype(jnp.float32) * H - 0.5
+    bx = jnp.maximum(
+        0.0, 1.0 - jnp.abs(x[..., None]
+                           - jnp.arange(W, dtype=jnp.float32)))
+    by = jnp.maximum(
+        0.0, 1.0 - jnp.abs(y[..., None]
+                           - jnp.arange(H, dtype=jnp.float32)))
+    # HIGHEST: on TPU the default runs these f32 einsums as single-pass
+    # bf16 MXU dots (~1e-2 error vs the exact gather formulation this
+    # replaced — measured vs torch grid_sample); multi-pass keeps the
+    # loss exact and is still ~7x faster than gather/scatter overall
+    t = jnp.einsum("...hw,...pw->...ph", masks.astype(jnp.float32), bx,
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("...ph,...ph->...p", by, t,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def point_sample(masks: Array, points: Array, *,
+                 chunk: int = 8192) -> Array:
+    """Bilinear sample [.., H, W] masks at normalized [.., P, 2] (x, y)
+    points, torch grid_sample(align_corners=False) semantics.
+
+    Computed as dense hat-basis matmuls (see _point_sample_chunk),
+    chunked over points so the [.., P, H] intermediate stays bounded."""
+    P = points.shape[-2]
+    if P <= chunk:
+        return _point_sample_chunk(masks, points)
+    outs = [_point_sample_chunk(masks, points[..., s:s + chunk, :])
+            for s in range(0, P, chunk)]
+    return jnp.concatenate(outs, axis=-1)
 
 
 def uncertainty_points(rng: Array, coarse_logits: Array, num_points: int,
@@ -168,6 +194,16 @@ def hungarian_match(cost: Array) -> Array:
 # criterion
 # ---------------------------------------------------------------------------
 
+def matching_cost(outputs: Dict[str, Array], targets: Dict[str, Array],
+                  *, cfg) -> Array:
+    """[B, Q, N] Hungarian cost for one layer's outputs (no solve)."""
+    return jax.vmap(functools.partial(
+        _single_cost, class_cost=cfg.class_cost, bbox_cost=cfg.bbox_cost,
+        giou_cost=cfg.giou_cost, alpha=cfg.focal_alpha, gamma=2.0))(
+            outputs["logits"], outputs["pred_boxes"], targets["labels"],
+            targets["boxes"], targets["valid"].astype(bool))
+
+
 def detection_loss(
     outputs: Dict[str, Array],
     targets: Dict[str, Array],
@@ -175,13 +211,16 @@ def detection_loss(
     cfg,                                # GDinoConfig (weights, focal alpha)
     rng: Optional[Array] = None,
     num_boxes: Optional[Array] = None,
+    match: Optional[Array] = None,
 ) -> Dict[str, Array]:
     """Hungarian-matched det/seg loss for one decoder-layer output.
 
     outputs: logits [B, Q, T], pred_boxes [B, Q, 4], optional pred_masks
     [B, Q, Hm, Wm]. targets: labels [B, N] (index into text slots),
     boxes [B, N, 4] cxcywh, valid [B, N], optional masks [B, N, H, W].
-    Returns dict of scalar losses (already weighted by cfg coefs).
+    `match` [B, N] short-circuits the solve (detection_loss_with_aux
+    batches all layers' matchings into one vmapped call). Returns dict
+    of scalar losses (already weighted by cfg coefs).
     """
     logits = outputs["logits"]
     boxes = outputs["pred_boxes"]
@@ -192,11 +231,8 @@ def detection_loss(
     if num_boxes is None:
         num_boxes = jnp.maximum(jnp.sum(tgt_valid), 1.0)
 
-    cost = jax.vmap(functools.partial(
-        _single_cost, class_cost=cfg.class_cost, bbox_cost=cfg.bbox_cost,
-        giou_cost=cfg.giou_cost, alpha=cfg.focal_alpha, gamma=2.0))(
-            logits, boxes, targets["labels"], targets["boxes"], tgt_valid)
-    match = hungarian_match(cost)                            # [B, N]
+    if match is None:
+        match = hungarian_match(matching_cost(outputs, targets, cfg=cfg))
     match = jax.lax.stop_gradient(match)
 
     # ---- class loss: binary focal over [B, Q, T] with positives at
@@ -273,27 +309,46 @@ def detection_loss_with_aux(
     detail: Dict[str, Array] = {}
     total = 0.0
     n_layers = outputs["all_logits"].shape[0]
+
+    layer_outs = []
     for lvl in range(n_layers):
-        r = jax.random.fold_in(rng, lvl)
         out_l = {"logits": outputs["all_logits"][lvl],
                  "pred_boxes": outputs["all_boxes"][lvl],
                  "text_mask": outputs.get("text_mask")}
         if "all_masks" in outputs:
             out_l["pred_masks"] = outputs["all_masks"][lvl]
-        losses = detection_loss(out_l, targets, cfg=cfg, rng=r,
-                                num_boxes=num_boxes)
+        layer_outs.append(out_l)
+    enc_out = None
+    if cfg.two_stage and "enc_logits" in outputs:
+        enc_out = {"logits": outputs["enc_logits"],
+                   "pred_boxes": outputs["enc_boxes"],
+                   "text_mask": outputs.get("text_mask")}
+
+    # ONE vmapped Hungarian solve for every matching (6 decoder layers
+    # + the two-stage encoder head): the solver is a serial
+    # augmenting-path while_loop, so K independent solves in a batch
+    # run in vmap lockstep for ~the price of one — measured 7x on chip
+    # vs per-layer solves (the round-3 layout).
+    all_outs = layer_outs + ([enc_out] if enc_out is not None else [])
+    costs = jnp.stack(
+        [matching_cost(o, targets, cfg=cfg) for o in all_outs])
+    K, B, Q, N = costs.shape
+    matches = hungarian_match(costs.reshape(K * B, Q, N))
+    matches = matches.reshape(K, B, N)
+
+    for lvl, out_l in enumerate(layer_outs):
+        losses = detection_loss(out_l, targets, cfg=cfg,
+                                rng=jax.random.fold_in(rng, lvl),
+                                num_boxes=num_boxes, match=matches[lvl])
         suffix = "" if lvl == n_layers - 1 else f"_aux{lvl}"
         for k, v in losses.items():
             detail[k + suffix] = v
             total = total + v
 
-    if cfg.two_stage and "enc_logits" in outputs:
-        enc_out = {"logits": outputs["enc_logits"],
-                   "pred_boxes": outputs["enc_boxes"],
-                   "text_mask": outputs.get("text_mask")}
+    if enc_out is not None:
         losses = detection_loss(enc_out, targets, cfg=cfg,
                                 rng=jax.random.fold_in(rng, 999),
-                                num_boxes=num_boxes)
+                                num_boxes=num_boxes, match=matches[-1])
         for k, v in losses.items():
             detail[k + "_enc"] = v
             total = total + v
