@@ -14,13 +14,13 @@ from visionllm_tpu.ops.quant4 import (Int4Dense, group_size, int4_matmul,
 
 
 def _dequant(wp, scale):
-    """Host-side unpack for oracles."""
-    half = wp.shape[-2]
+    """Host-side unpack for oracles (signed two's-complement nibbles:
+    arithmetic shifts sign-extend, matching the kernel)."""
     ng = scale.shape[-2]
-    g = 2 * half // ng
-    wi = np.asarray(wp).astype(np.int32) & 0xFF
-    lo = (wi & 0xF) - 8
-    hi = ((wi >> 4) & 0xF) - 8
+    g = 2 * wp.shape[-2] // ng
+    wi = np.asarray(wp).astype(np.int32)      # sign-extends the byte
+    lo = (wi << 28) >> 28
+    hi = wi >> 4
     w = np.concatenate([lo, hi], axis=-2).astype(np.float32)
     s = np.repeat(np.asarray(scale).astype(np.float32), g, axis=-2)
     return w * s

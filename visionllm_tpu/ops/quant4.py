@@ -8,13 +8,24 @@ output channel) — the w4g128 recipe of the GPTQ/AWQ line of work.
 
 Packing (split-half, TPU-first): byte ``[r, o]`` of the packed kernel
 holds input-rows ``r`` (low nibble) and ``r + in/2`` (high nibble),
-both offset-8 unsigned. Unlike even/odd packing this needs NO
-interleave to unpack — the matmul splits into
+both SIGNED two's-complement nibbles. Unlike even/odd packing this
+needs NO interleave to unpack — the matmul splits into
 ``x[:, :in/2] @ W_top + x[:, in/2:] @ W_bot`` where ``W_top/W_bot``
 are elementwise nibble extractions of the SAME byte tile, so the
 Pallas kernel reads each packed byte exactly once, dequantizes in
-VMEM, and feeds the MXU two bf16 dots. No bf16 copy of the weight
-ever exists in HBM.
+VMEM, and feeds the MXU bf16 dots. No bf16 copy of the weight ever
+exists in HBM.
+
+Decode at bs≤16 is VPU-dequant-bound, not HBM-bound (measured: the
+round-3 offset-8 kernel with a full ``[in, out]`` scale multiply ran
+at 0.21 HBM util — every weight cost ~6 VPU ops while bandwidth
+affords ~2.3/byte at 819 GB/s vs the 8×128×4-ALU VPU). Two design
+rules follow: (a) signed nibbles unpack with two arithmetic SHIFTS
+(``w << 4 >> 4`` / ``w >> 4``) — no mask/subtract chain; (b) the
+group scale multiplies the ``[groups, out]`` PARTIAL DOT SUMS, not
+the ``[in, out]`` dequantized weights — G=128× less scale work. The
+MXU contracts each 128-row group separately (one dot per group);
+group partials accumulate in f32.
 
 The XLA fallback (CPU tests, non-TPU backends) materializes the
 dequantized tile per call — bit-identical results, no bandwidth win.
@@ -48,7 +59,8 @@ def pack_int4(w: jnp.ndarray):
 
     Returns ``(wp int8 [..., in//2, out], scale bf16 [..., in//G, out])``
     with split-half packing: low nibble = row ``r``, high nibble = row
-    ``r + in//2``, both stored offset-8 (range 0..15 for values −8..7).
+    ``r + in//2``, both signed two's-complement (−8..7) so the kernel
+    unpacks with arithmetic shifts alone.
     """
     *lead, cin, cout = w.shape
     G = group_size(cin)
@@ -59,62 +71,68 @@ def pack_int4(w: jnp.ndarray):
     scale = jnp.maximum(amax / 7.0, 1e-8).astype(jnp.bfloat16)
     q = jnp.clip(jnp.round(g / scale[..., None, :].astype(jnp.float32)),
                  -8, 7).astype(jnp.int32)
-    q = q.reshape(*lead, cin, cout) + 8            # 0..15
+    q = q.reshape(*lead, cin, cout)
     half = cin // 2
-    lo = q[..., :half, :]
-    hi = q[..., half:, :]
-    wp = (lo | (hi << 4)).astype(jnp.int8)
+    lo = q[..., :half, :] & 0xF
+    hi = q[..., half:, :] & 0xF
+    byte = (lo | (hi << 4)).astype(jnp.uint8)
+    wp = jax.lax.bitcast_convert_type(byte, jnp.int8)
     return wp, scale
-
-
-def _group_expand(scale_half: jnp.ndarray, g: int) -> jnp.ndarray:
-    """[..., n_groups, out] group scales → [..., n_groups*g, out] row
-    scales (broadcast within each group; reshape only, no gather)."""
-    *lead, ng, cout = scale_half.shape
-    s = jnp.broadcast_to(scale_half[..., :, None, :],
-                         (*lead, ng, g, cout))
-    return s.reshape(*lead, ng * g, cout)
 
 
 def int4_matmul_ref(x: jnp.ndarray, wp: jnp.ndarray,
                     scale: jnp.ndarray) -> jnp.ndarray:
     """XLA reference/fallback: dequantize then matmul. Exact spec for
-    the Pallas kernel (same split-half unpack, same f32 accumulate)."""
+    the Pallas kernel (same split-half signed-nibble unpack, same
+    per-group f32 partial-sum scaling)."""
     half = wp.shape[-2]
     ngh = scale.shape[-2] // 2
     g = half // ngh
-    wi = wp.astype(jnp.int32) & 0xFF               # avoid sign surprises
-    lo = (wi & 0xF) - 8
-    hi = ((wi >> 4) & 0xF) - 8
+    # signed nibbles: arithmetic shifts sign-extend (int32 here; the
+    # kernel does the same directly on the int8 lanes)
+    wi = wp.astype(jnp.int32)
+    lo = (wi << 28) >> 28
+    hi = wi >> 4
     dt = x.dtype
-    w_top = (lo.astype(dt)
-             * _group_expand(scale[..., :ngh, :], g).astype(dt))
-    w_bot = (hi.astype(dt)
-             * _group_expand(scale[..., ngh:, :], g).astype(dt))
-    acc = jnp.einsum("...i,...io->...o", x[..., :half], w_top,
-                     preferred_element_type=jnp.float32)
-    acc += jnp.einsum("...i,...io->...o", x[..., half:], w_bot,
-                      preferred_element_type=jnp.float32)
+    sf = scale.astype(jnp.float32)
+    acc = None
+    for nib, sl, x_off in ((lo, slice(0, ngh), 0),
+                           (hi, slice(ngh, 2 * ngh), half)):
+        wn = nib.astype(dt).reshape(*wp.shape[:-2], ngh, g, wp.shape[-1])
+        xs = x[..., x_off:x_off + half]
+        xg = xs.reshape(*x.shape[:-1], ngh, g)
+        # per-group partial dots, then scale the [.., ngh, out] partials
+        p = jnp.einsum("...ng,...ngo->...no", xg, wn,
+                       preferred_element_type=jnp.float32)
+        part = jnp.sum(p * sf[..., sl, :], axis=-2)
+        acc = part if acc is None else acc + part
     return acc.astype(dt)
 
 
 def _int4_kernel(x_ref, wp_ref, s_ref, out_ref):
-    """One (row-tile, out-tile) cell: unpack the byte tile in VMEM,
-    dequantize with group scales, two MXU dots, f32 accumulate."""
-    wi = wp_ref[:].astype(jnp.int32) & 0xFF
-    lo = (wi & 0xF) - 8
-    hi = ((wi >> 4) & 0xF) - 8
-    s = s_ref[:]                                   # [n_groups, TO]
+    """One (row-tile, out-tile) cell: shift-unpack the byte tile in
+    VMEM (signed nibbles → two arithmetic shifts, no mask/sub chain),
+    one MXU dot per 128-row scale group, scale the [group, TO] f32
+    partial sums (G× less scale work than scaling the weights)."""
+    # Mosaic has no i8 vector shifts (arith.shli fails to legalize on
+    # vector<..xi8>) — sign-extend the byte to i32 once, then shift
+    w = wp_ref[:].astype(jnp.int32)                # int8 [half, TO] → i32
+    lo = (w << 28) >> 28                           # signed low nibble
+    hi = w >> 4                                    # signed high nibble
+    s = s_ref[:].astype(jnp.float32)               # [n_groups, TO]
     ngh = s.shape[0] // 2
-    g = wi.shape[0] // ngh
+    half = w.shape[0]
+    g = half // ngh
     dt = x_ref.dtype
-    w_top = lo.astype(dt) * _group_expand(s[:ngh], g).astype(dt)
-    w_bot = hi.astype(dt) * _group_expand(s[ngh:], g).astype(dt)
     x = x_ref[:]
-    half = wi.shape[0]
-    acc = jnp.dot(x[:, :half], w_top, preferred_element_type=jnp.float32)
-    acc += jnp.dot(x[:, half:], w_bot,
-                   preferred_element_type=jnp.float32)
+    acc = None
+    for nib, x_off, s_off in ((lo, 0, 0), (hi, half, ngh)):
+        for gi in range(ngh):
+            p = jnp.dot(x[:, x_off + gi * g:x_off + (gi + 1) * g],
+                        nib[gi * g:(gi + 1) * g].astype(dt),
+                        preferred_element_type=jnp.float32)
+            p = p * s[s_off + gi][None]
+            acc = p if acc is None else acc + p
     out_ref[:] = acc.astype(out_ref.dtype)
 
 
