@@ -75,6 +75,11 @@ def main():
 
     import jax
 
+    # persistent compile cache (off-repo): repeat bench runs inside a
+    # round skip the multi-minute XLA compiles
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     if args.tiny:
         # CPU smoke: must win over the environment's TPU pin before any
         # backend initializes (env vars are too late — see conftest.py)

@@ -86,6 +86,12 @@ def main():
 
 def _run(args, result, out_path):
     import jax
+
+    # persistent compile cache: the 640px det train step takes ~800 s to
+    # compile; iterating on the bench without it is untenable. /tmp (not
+    # the committed .jax_cache — TPU executables don't belong in git).
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import numpy as np
 
@@ -159,11 +165,26 @@ def _run(args, result, out_path):
         },
     }
 
+    def frozen(path: str) -> bool:
+        # reference stage-1: vision encoder + LLM frozen
+        # (train/train.py:533-558)
+        return path.startswith(("core/vis_encoder", "core/llm"))
+
     def init(r):
         p = model.init(r, batch, tid)["params"]
-        return jax.tree.map(
-            lambda a: a.astype(jnp.bfloat16)
-            if a.dtype == jnp.float32 else a, p)
+
+        # fp32 master weights for the TRAINABLE subtree (bf16 updates at
+        # lr 2e-5 round to zero against ~0.02-magnitude params, and bf16
+        # Adam moments are unstable); frozen params stay bf16 — flax
+        # casts params to the module dtype at use, so compute is bf16
+        # everywhere either way. Cost: ~0.5 GB for 0.09B trainables.
+        def cast(path, a):
+            name = "/".join(str(getattr(k, "key", k)) for k in path)
+            if a.dtype != jnp.float32:
+                return a
+            return a if not frozen(name) else a.astype(jnp.bfloat16)
+
+        return jax.tree_util.tree_map_with_path(cast, p)
 
     t = time.time()
     params = jax.jit(init)(jax.random.PRNGKey(0))
@@ -180,12 +201,6 @@ def _run(args, result, out_path):
         return total
 
     n_all = _count(params)
-
-    def frozen(path: str) -> bool:
-        # reference stage-1: vision encoder + LLM frozen
-        # (train/train.py:533-558)
-        return path.startswith(("core/vis_encoder", "core/llm"))
-
     n_frozen = _count(params, frozen)
     result["params_b"] = round(n_all / 1e9, 3)
     result["trainable_b"] = round((n_all - n_frozen) / 1e9, 3)
