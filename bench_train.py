@@ -307,9 +307,15 @@ def _run(args, result, out_path):
                 tx_k = build_optimizer(
                     OptimizerConfig(total_steps=1000, grad_accum_steps=k),
                     train_tree)
+                # donate: without it the create-jit CLONES the full
+                # param tree (7.9 GB at 16 layers) next to the old one
+                # — the observed accum-rung OOM. The state's params
+                # leaf keeps the (aliased) tree alive for later rungs.
                 state_k = jax.jit(
-                    lambda p, t=tx_k: TrainState.create(p, t, frozen=frozen)
-                )(params_live)
+                    lambda p, t=tx_k: TrainState.create(p, t,
+                                                        frozen=frozen),
+                    donate_argnums=0)(params_live)
+                params_live = state_k.params
                 jax.block_until_ready(state_k.opt_state)
                 step_k = make_det_train_step(model, tx_k, tid,
                                              frozen=frozen)
@@ -346,6 +352,9 @@ def _run(args, result, out_path):
                     "overhead_vs_plain": round(micro_s / step_s - 1, 3)}
                 log(f"accum{k} micro-step {micro_s*1e3:.1f} ms "
                     f"({micro_s/step_s-1:+.1%} vs plain)")
+                # every jit_k call donated the state, so the rung-entry
+                # param buffers are dead — carry the FINAL state's
+                params_live = state_k.params
                 for leaf in jax.tree.leaves(state_k.opt_state):
                     if hasattr(leaf, "delete"):
                         leaf.delete()
