@@ -12,7 +12,7 @@ reduced-dims coverage. Two tests close that:
    against our init tree (jax.eval_shape).  The state-dict stand-in
    returns fp16 zeros so the 26B tree commits ~53 GB, within host RAM.
 
-2. a REAL-dims sharded forward: the full 26.3B-param core
+2. a REAL-dims sharded forward: the full 25.9B-param core
    (vis encoder + internvl_mlp bridge + LLM), bf16, FSDP-sharded over
    the 8-device CPU mesh, one short-sequence forward, finite logits.
    Parameters are materialized directly INTO their shards (jit with
@@ -121,7 +121,7 @@ def test_26b_converter_completeness_at_real_dims():
     del ref
     gc.collect()
     n_params = sum(int(np.prod(s)) for s in shapes.values())
-    assert n_params > 26e9, f"only {n_params/1e9:.1f}B params enumerated"
+    assert n_params > 25.5e9, f"only {n_params/1e9:.1f}B params enumerated"
 
     from visionllm_tpu.models.visionllm import VisionLLM
     from visionllm_tpu.utils.torch_convert import convert_composite_core
@@ -154,7 +154,7 @@ def test_26b_converter_completeness_at_real_dims():
 
 @pytest.mark.slow
 def test_26b_sharded_forward_at_real_dims():
-    """Materialize the full 26.3B bf16 core FSDP-sharded over the
+    """Materialize the full 25.9B bf16 core FSDP-sharded over the
     8-device mesh and run one short-sequence forward."""
     from visionllm_tpu.models.visionllm import SpecialTokenIds, VisionLLM
     from visionllm_tpu.parallel.mesh import build_mesh, shard_params
@@ -210,7 +210,7 @@ def test_26b_sharded_forward_at_real_dims():
     treedef = jax.tree_util.tree_structure(abstract)
     params = jax.tree_util.tree_unflatten(treedef, leaves)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
-    assert n_params > 26e9, f"{n_params/1e9:.2f}B"
+    assert n_params > 25.5e9, f"{n_params/1e9:.2f}B"
 
     def fwd(p, i, im):
         out = model.apply({"params": p}, i, im, tid, compute_logits=True)

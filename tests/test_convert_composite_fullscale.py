@@ -203,6 +203,12 @@ def _allowlisted(key: str) -> bool:
     #     deliberately skipped
     if ".sd_text_encoder." in key:
         return True
+    # (c) CLIP's post_layernorm only feeds the pooled-CLS projection
+    #     head; the composite reads an intermediate hidden state
+    #     (modeling_visionllmv2.py:570 hidden_states[select_layer])
+    #     that never passes through it
+    if key.startswith("vis_encoder.") and ".post_layernorm." in key:
+        return True
     return False
 
 

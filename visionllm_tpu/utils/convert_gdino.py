@@ -20,7 +20,9 @@ from typing import Dict, Mapping
 
 import numpy as np
 
-from visionllm_tpu.utils.torch_convert import _conv, _t, convert_swin
+from visionllm_tpu.utils.torch_convert import (_conv, _t,
+                                               consume_tied_duplicates,
+                                               convert_swin)
 
 Array = np.ndarray
 
@@ -187,4 +189,9 @@ def convert_gdino(sd: Mapping[str, Array], cfg,
     out["bbox_embed"] = _mlp(sd, p + "bbox_embed.0", 3)
     out["mask_embed"] = _mlp(sd, p + "mask_embed.0", 3)
     out["patch2query"] = _mlp(sd, p + "patch2query", 3)
+    # per-slot + decoder-attribute aliases of the shared heads: consume
+    # them (torch serializes each tied reference) and verify the tie
+    consume_tied_duplicates(sd, p + "bbox_embed.0",
+                            [p + "bbox_embed", m + "decoder.bbox_embed"])
+    consume_tied_duplicates(sd, p + "mask_embed.0", [p + "mask_embed"])
     return out

@@ -151,6 +151,11 @@ def convert_unipose(sd: Mapping[str, Array], cfg, prefix: str = "",
     out["bbox_embed"] = _mlp(sd, p + "bbox_embed.0", 3)
     out["pose_embed"] = _mlp(sd, p + "pose_embed.0", 3)
     out["pose_hw_embed"] = _mlp(sd, p + "pose_hw_embed.0", 3)
+    # tied per-slot + decoder-attribute aliases of the shared heads
+    from visionllm_tpu.utils.torch_convert import consume_tied_duplicates
+    for head in ("bbox_embed", "pose_embed", "pose_hw_embed"):
+        consume_tied_duplicates(
+            sd, p + head + ".0", [p + head, t + "decoder." + head])
     out["hw"] = np.asarray(sd[t + "decoder.hw.weight"])
     if t + "decoder.hw_append.weight" in sd:
         out["hw_append"] = np.asarray(sd[t + "decoder.hw_append.weight"])

@@ -36,6 +36,53 @@ def _stack(sd: Mapping[str, Array], fmt: str, n: int,
     return np.stack([transform(sd[fmt.format(i=i)]) for i in range(n)], 0)
 
 
+def consume_tied_duplicates(sd: Mapping[str, Array], canonical: str,
+                            alias_bases) -> None:
+    """Read (and equality-check) tied-weight duplicate keys.
+
+    With the share flags on (the reference defaults —
+    configuration_grounding_dino.py:288 decoder_bbox_embed_share=True),
+    the prediction heads are ONE module referenced from every
+    ModuleList slot AND from submodule attribute aliases
+    (modeling_ov_grounding_dino_mask_dn.py:2629-2635 builds bbox_embed
+    as N references and assigns model.decoder.bbox_embed = bbox_embed),
+    so torch .state_dict() serializes the same tensors under many key
+    paths. Our tree keeps one copy; this consumes every alias and
+    asserts it matches the canonical tensor, so a checkpoint trained
+    with share=False cannot be silently collapsed. Checkpoints whose
+    save path deduplicated the tied keys simply have no aliases here —
+    a no-op.
+
+    canonical: full prefix of the kept copy (e.g. "gdino.bbox_embed.0").
+    alias_bases: prefixes whose ".<idx>" children are tied copies
+    (e.g. ["gdino.bbox_embed", "gdino.model.decoder.bbox_embed"]).
+    """
+    keys = list(sd.keys())
+    sufs = [k[len(canonical):] for k in keys
+            if k.startswith(canonical + ".")]
+    for base in alias_bases:
+        pref = base + "."
+        idxs = sorted({k[len(pref):].split(".", 1)[0]
+                       for k in keys if k.startswith(pref)
+                       and k[len(pref):].split(".", 1)[0].isdigit()})
+        for i in idxs:
+            full = f"{base}.{i}"
+            if full == canonical:
+                continue
+            for s in sufs:
+                if full + s not in sd:
+                    continue
+                dup = np.asarray(sd[full + s])
+                ref = np.asarray(sd[canonical + s])
+                if dup.shape != ref.shape or not np.array_equal(dup, ref):
+                    raise ValueError(
+                        f"{full + s} should be a tied copy of "
+                        f"{canonical + s} (decoder_*_embed_share) but "
+                        f"differs — the checkpoint was trained with "
+                        f"unshared heads, which this tree does not "
+                        f"represent")
+
+
 def convert_llama(sd: Mapping[str, Array], cfg: LLMConfig,
                   prefix: str = "model.") -> Dict:
     """HF LlamaForCausalLM state dict → LlamaModel params.
