@@ -85,12 +85,42 @@ def main():
             lambda x: x.astype(jnp.bfloat16)
             if x.dtype == jnp.float32 else x, p)
 
-    t = time.time()
-    params = jax.jit(init)(jax.random.PRNGKey(0))
-    jax.block_until_ready(params)
-    log(f"init {time.time()-t:.1f}s")
+    # Layout negotiation (same dance as bench.py): compile the e2e
+    # program against ABSTRACT params with AUTO layouts, then init the
+    # 13.5 GB tree DIRECTLY into the layout that program wants. A
+    # default-layout init OOMs the 16 GB chip: the program relayouts the
+    # [32,4096,4096] q/k/v scan stacks with 1 GB HLO-temp copies
+    # (observed: 16.07G used, +333 MB over capacity).
+    from jax.experimental.layout import Format, Layout
+    auto = lambda tree: jax.tree.map(            # noqa: E731
+        lambda _: Format(Layout.AUTO), tree)
+    p_abs = jax.eval_shape(init, jax.random.PRNGKey(0))
 
-    def chained(fn):
+    def _e2e_probe(c, ex):
+        p, ii, im, au = ex
+        out = model.apply({"params": p}, ii, im, au, tid,
+                          method=VisionLLMWithTools.infer_det)
+        return out["pred_boxes"][:, :8, 0]
+
+    probe_args = (p_abs,
+                  jnp.zeros((1, len(ids1)), jnp.int32),
+                  jnp.zeros((1, size, size, 3), jnp.bfloat16),
+                  jnp.zeros((1, args.det, args.det, 3), jnp.bfloat16))
+    t = time.time()
+    probe = jax.jit(lambda c, ex: _e2e_probe(c, ex),
+                    in_shardings=(auto(0), auto(probe_args)))
+    # input_formats = (args_formats, kwargs_formats); args are (c, ex),
+    # ex = (params, ids, images, aug)
+    fmt_params = probe.lower(jnp.float32(0), probe_args) \
+        .compile().input_formats[0][1][0]
+    log(f"layout probe compile {time.time()-t:.1f}s")
+    t = time.time()
+    params = jax.jit(init, out_shardings=fmt_params)(
+        jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    log(f"init (layout-negotiated) {time.time()-t:.1f}s")
+
+    def chained(fn, extra):
         def run(n, c0, extra):
             def body(state):
                 i, c = state
@@ -98,10 +128,13 @@ def main():
                 return i + 1, jnp.sum(out).astype(jnp.float32) * 1e-12
             return jax.lax.while_loop(lambda s: s[0] < n, body,
                                       (jnp.int32(0), c0))[1]
-        return jax.jit(run)
+        # pin `extra`'s layout to the live arrays' (params are already
+        # in the negotiated layout; no entry copies)
+        fmt = jax.tree.map(lambda x: x.format, extra)
+        return jax.jit(run, in_shardings=(None, None, fmt))
 
     def slope(name, fn, extra):
-        run = chained(fn)
+        run = chained(fn, extra)
         t = time.time()
         float(run(jnp.int32(1), jnp.float32(0), extra))
         log(f"{name}: compile+first {time.time()-t:.1f}s")
@@ -143,10 +176,11 @@ def main():
             slope(f"core_bs{B}", core_fn, (params, images, input_ids))
 
         if "gdino" in stages:
+            # gdino wants [B, P, num_embs, text_dim] + [B, P] mask
             tq = 0.02 * jax.random.normal(
-                rng, (B, cfg.num_embs, cfg.llm.hidden_size),
+                rng, (B, 1, cfg.num_embs, cfg.llm.hidden_size),
                 jnp.bfloat16)
-            tq_mask = jnp.ones((B, cfg.num_embs), bool)
+            tq_mask = jnp.ones((B, 1), bool)
 
             def gdino_fn(c, ex):
                 p, au, q, qm = ex

@@ -382,8 +382,8 @@ def ms_deform_attn_quad(
 
     gidx = jnp.stack(gidx_l, axis=2)                      # [B,H,L,P,Q]
     wcell = jnp.stack(wcell_l, axis=2)                    # [B,H,L,P,Q,4]
-    head_off = (jnp.arange(B * H, dtype=jnp.int32) * S).reshape(B, H)
-    gidx = gidx + head_off[:, :, None, None, None]
+    head_off = jnp.arange(H, dtype=jnp.int32) * S         # [H]
+    gidx = gidx + head_off[None, :, None, None, None]
 
     # Weighted reduction as elementwise multiply + axis sums, NOT an
     # einsum: a dot_general over the (LP, corner) contraction forces XLA
@@ -410,14 +410,28 @@ def ms_deform_attn_quad(
     # AND re-read by the consumer — measured 11.7 → 9.3 ms/layer at
     # 800px, bit-identical output since the convert still runs in f32
     # registers inside the fused multiply-reduce).
-    N_l = B * H * P * Q
-    out = jnp.zeros((B, H, Q, D), jnp.float32)
-    for lvl in range(L):
-        rows = jnp.take(quad, gidx[:, :, lvl].reshape(-1), axis=0)
-        rows = jax.lax.optimization_barrier(rows)
-        w_l = wcell[:, :, lvl].reshape(N_l, 4, 1)
-        out_l = (rows.reshape(N_l, 4, D).astype(jnp.float32) * w_l).sum(1)
-        out = out + out_l.reshape(B, H, P, Q, D).sum(2)    # p reduce
+    # Gather per IMAGE (static python loop over B), NOT from one flat
+    # [B·H·S, 4D] table: TPU row-gather throughput degrades once the
+    # table outgrows the bs1 working set (measured at the 512px encoder
+    # shape, bs4: flat-table 18.9 ms vs per-image 10.4 ms — 1.80x vs
+    # 1.04x per-image scaling; tools/profile_msda_parts.py). Each
+    # image's table is the bs1 size (H·S rows), so batching stays
+    # linear; at B=1 this is identical to the flat form.
+    quad_b = quad.reshape(B, H * S, 4 * D)
+    N_l = H * P * Q
+    outs = []
+    for b in range(B):
+        out_b = jnp.zeros((H, Q, D), jnp.float32)
+        for lvl in range(L):
+            rows = jnp.take(quad_b[b], gidx[b, :, lvl].reshape(-1),
+                            axis=0)
+            rows = jax.lax.optimization_barrier(rows)
+            w_l = wcell[b, :, lvl].reshape(N_l, 4, 1)
+            out_l = (rows.reshape(N_l, 4, D).astype(jnp.float32)
+                     * w_l).sum(1)
+            out_b = out_b + out_l.reshape(H, P, Q, D).sum(1)  # p reduce
+        outs.append(out_b)
+    out = jnp.stack(outs, axis=0)                         # [B,H,Q,D]
     return out.transpose(0, 2, 1, 3).reshape(B, Q, H * D).astype(value.dtype)
 
 
