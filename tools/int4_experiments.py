@@ -6,15 +6,22 @@ Hypothesis: hand-unpacking nibbles on the VPU loses to XLA's native
 int4 operand handling, the same way the int8 path wins by letting XLA
 fuse the int8->bf16 convert into the dot's operand load (ops/quant.py).
 
-Times a decode-shaped scanned layer stack x[B,in] @ W[L,in,out] for:
+Constraint discovered on the way: jax 0.9 cannot take a `jnp.int4`
+array as a jit ARGUMENT (infinite device_put recursion) — int4 must
+exist only INSIDE the program. So weights persist as split-half packed
+int8 bytes (ops/quant4.pack_int4 layout) and every variant starts from
+`lax.bitcast_convert_type(wp, int4)` -> [half, out, 2] (low nibble at
+[..., 0], high at [..., 1] — little-endian nibble order, signed).
 
-  bf16      — dense baseline (2 B/param)
-  int8      — fused-convert dot, per-out-channel scale (current int8)
-  int4_chan — native jnp.int4 stack, fused-convert dot, per-channel
-  int4_g128 — native jnp.int4, grouped einsum bng,ngo->bno with
-              per-(group,out) scales on the f32 partials (w4g128
-              numerics, same spec as ops/quant4.pack_int4)
-  int4_pallas — the current ops/quant4.py kernel on its packed bytes
+Variants (x [B, in] bf16; weights stream once per step):
+
+  int8         — fused-convert dot, per-out-channel scale (baseline)
+  i4_chan      — bitcast int4, TWO half dots, per-channel scale
+  i4_g128      — bitcast int4, grouped einsum bng,ngo->bno with
+                 per-(group,out) scales on f32 partials (w4g128
+                 numerics == ops/quant4.int4_matmul_ref)
+  i4_pallas    — the current ops/quant4.py Pallas kernel
+  i4_shift     — plain-XLA shift unpack (int4_matmul_ref)
 
 Run ON the chip:  python tools/int4_experiments.py [--L 16] [--B 16]
 Prints one JSON line: per-variant ms/step + effective GB/s + util.
@@ -41,136 +48,126 @@ def main():
     ap.add_argument("--cin", type=int, default=4096)
     ap.add_argument("--cout", type=int, default=11008)
     ap.add_argument("--g", type=int, default=128)
-    ap.add_argument("--variants", default="bf16,int8,int4_chan,"
-                                          "int4_g128,int4_pallas")
+    ap.add_argument("--variants",
+                    default="int8,i4_chan,i4_g128,i4_pallas,i4_shift")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    from visionllm_tpu.ops.quant4 import int4_matmul, int4_matmul_ref, \
+        pack_int4
+
     L, B, cin, cout, G = args.L, args.B, args.cin, args.cout, args.g
-    ng = cin // G
-    rng = np.random.RandomState(0)
-    w_np = (rng.randn(L, cin, cout) * 0.02).astype(np.float32)
-    x0 = jnp.asarray(rng.randn(B, cin) * 0.3, jnp.bfloat16)
+    ng, half = cin // G, cin // 2
+    ngh = ng // 2
+    key = jax.random.PRNGKey(0)
+    # ON-DEVICE init (device_put of GB-scale host arrays crawls through
+    # the axon relay pipe); int4 never crosses the jit boundary
+    w_master = jax.jit(lambda k: 0.02 * jax.random.normal(
+        k, (L, cin, cout), jnp.bfloat16))(key)
+    x0 = jax.jit(lambda k: 0.3 * jax.random.normal(
+        k, (B, cin), jnp.bfloat16))(jax.random.fold_in(key, 1))
+    wp, sp = jax.jit(pack_int4)(w_master.astype(jnp.float32))
+    # wp int8 [L, half, out]; sp bf16 [L, ng, out]
+    s_chan = jax.jit(lambda s: jnp.max(s, axis=1))(sp)   # [L, out] coarse
 
-    # --- quantized forms (built on host/np to keep HBM small) --------
-    def chan_q(bits):
-        q = 127 if bits == 8 else 7
-        amax = np.abs(w_np).max(axis=1, keepdims=True)      # [L,1,out]
-        s = np.maximum(amax / q, 1e-8)
-        wq = np.clip(np.round(w_np / s), -q - 1, q)
-        return wq, s[:, 0, :].astype(np.float32)            # [L,out]
+    log(f"device: {jax.devices()[0].platform}; wp {wp.shape} "
+        f"{wp.nbytes/1e6:.0f} MB; sp {sp.nbytes/1e6:.0f} MB")
 
-    def group_q():
-        g = w_np.reshape(L, ng, G, cout)
-        amax = np.abs(g).max(axis=2)                        # [L,ng,out]
-        s = np.maximum(amax / 7.0, 1e-8)
-        wq = np.clip(np.round(g / s[:, :, None, :]), -8, 7)
-        return wq.reshape(L, cin, cout), s.astype(np.float32)
-
-    devs = jax.devices()
-    log(f"device: {devs[0].platform} x{len(devs)}")
+    def post(y, cin_):
+        return (0.1 * jnp.tanh(y[:, :cin_])).astype(jnp.bfloat16)
 
     variants = {}
 
-    if "bf16" in args.variants and L * cin * cout * 2 < 6e9:
-        wb = jax.device_put(jnp.asarray(w_np, jnp.bfloat16))
-
-        def f_bf16(x):
-            def body(c, w):
-                y = jax.lax.dot(c, w)
-                return (0.1 * jnp.tanh(y[:, :cin])).astype(c.dtype), ()
-            return jax.lax.scan(body, x, wb)[0]
-        variants["bf16"] = (f_bf16, L * cin * cout * 2)
-
     if "int8" in args.variants:
-        wq, s = chan_q(8)
-        w8 = jax.device_put(jnp.asarray(wq, jnp.int8))
-        s8 = jax.device_put(jnp.asarray(s, jnp.bfloat16))
+        w8 = jax.jit(lambda w: jnp.clip(jnp.round(
+            w.astype(jnp.float32) / jnp.maximum(jnp.max(jnp.abs(
+                w.astype(jnp.float32)), axis=1, keepdims=True) / 127.0,
+                1e-8)), -128, 127).astype(jnp.int8))(w_master)
+        s8 = jax.jit(lambda w: (jnp.max(jnp.abs(w.astype(jnp.float32)),
+                                        axis=1) / 127.0
+                                ).astype(jnp.bfloat16))(w_master)
 
-        def f_int8(x):
-            def body(c, ws):
-                w, sc = ws
+        def f_int8(x, ws):
+            def body(c, w_sc):
+                w, sc = w_sc
                 y = jax.lax.dot(c, w.astype(c.dtype)) * sc[None]
-                return (0.1 * jnp.tanh(y[:, :cin])).astype(c.dtype), ()
-            return jax.lax.scan(body, x, (w8, s8))[0]
-        variants["int8"] = (f_int8, L * cin * cout * 1)
+                return post(y, cin), ()
+            return jax.lax.scan(body, x, ws)[0]
+        variants["int8"] = (f_int8, (w8, s8), L * cin * cout)
 
-    if "int4_chan" in args.variants:
-        wq, s = chan_q(4)
-        # jnp.asarray(np, int4) hits a jit recursion bug in jax 0.9;
-        # route through int8 + an astype under jit
-        to4 = jax.jit(lambda v: v.astype(jnp.int4))
-        w4 = to4(jnp.asarray(wq.astype(np.int8)))
-        s4 = jax.device_put(jnp.asarray(s, jnp.bfloat16))
+    bytes_i4 = L * (cin * cout // 2 + ng * cout * 2)
 
-        def f_int4c(x):
-            def body(c, ws):
-                w, sc = ws
-                y = jax.lax.dot(c, w.astype(c.dtype)) * sc[None]
-                return (0.1 * jnp.tanh(y[:, :cin])).astype(c.dtype), ()
-            return jax.lax.scan(body, x, (w4, s4))[0]
-        variants["int4_chan"] = (f_int4c, L * cin * cout // 2)
+    if "i4_chan" in args.variants:
+        def f_chan(x, ws):
+            def body(c, w_sc):
+                w, sc = w_sc                          # [half,out] i8
+                n = jax.lax.bitcast_convert_type(w, jnp.int4)
+                y = (jax.lax.dot(c[:, :half], n[..., 0].astype(c.dtype))
+                     + jax.lax.dot(c[:, half:],
+                                   n[..., 1].astype(c.dtype)))
+                return post(y * sc[None], cin), ()
+            return jax.lax.scan(body, x, ws)[0]
+        variants["i4_chan"] = (f_chan, (wp, s_chan), bytes_i4)
 
-    if "int4_g128" in args.variants:
-        wq, s = group_q()
-        to4 = jax.jit(lambda v: v.astype(jnp.int4))
-        w4g = to4(jnp.asarray(
-            wq.reshape(L, ng, G, cout).astype(np.int8)))
-        s4g = jax.device_put(jnp.asarray(s, jnp.bfloat16))  # [L,ng,out]
+    if "i4_g128" in args.variants:
+        def f_g128(x, ws):
+            def body(c, w_sc):
+                w, sc = w_sc                # [half,out] i8, [ng,out] bf16
+                n = jax.lax.bitcast_convert_type(w, jnp.int4)
+                sf = sc.astype(jnp.float32)
+                acc = None
+                for k, x_off, s_off in ((0, 0, 0), (1, half, ngh)):
+                    wg = n[..., k].reshape(ngh, G, cout).astype(c.dtype)
+                    xg = c[:, x_off:x_off + half].reshape(B, ngh, G)
+                    p = jnp.einsum("bng,ngo->bno", xg, wg,
+                                   preferred_element_type=jnp.float32)
+                    part = jnp.sum(
+                        p * sf[s_off:s_off + ngh][None], axis=1)
+                    acc = part if acc is None else acc + part
+                return post(acc, cin), ()
+            return jax.lax.scan(body, x, ws)[0]
+        variants["i4_g128"] = (f_g128, (wp, sp), bytes_i4)
 
-        def f_int4g(x):
-            def body(c, ws):
-                w, sc = ws                    # [ng,G,out] int4, [ng,out]
-                xg = c.reshape(B, ng, G)
-                p = jnp.einsum("bng,ngo->bno", xg, w.astype(c.dtype),
-                               preferred_element_type=jnp.float32)
-                y = jnp.sum(p * sc.astype(jnp.float32)[None], axis=1)
-                return (0.1 * jnp.tanh(y[:, :cin])
-                        ).astype(c.dtype), ()
-            return jax.lax.scan(body, x, (w4g, s4g))[0]
-        variants["int4_g128"] = (
-            f_int4g, L * (cin * cout // 2 + ng * cout * 2))
+    if "i4_pallas" in args.variants:
+        def f_pallas(x, ws):
+            def body(c, w_sc):
+                w, sc = w_sc
+                return post(int4_matmul(c, w, sc), cin), ()
+            return jax.lax.scan(body, x, ws)[0]
+        variants["i4_pallas"] = (f_pallas, (wp, sp), bytes_i4)
 
-    if "int4_pallas" in args.variants:
-        from visionllm_tpu.ops.quant4 import int4_matmul, pack_int4
-        wp, sp = jax.jit(pack_int4)(jnp.asarray(w_np, jnp.float32))
-        wp = jax.device_put(wp)
-        sp = jax.device_put(sp)
-
-        def f_int4p(x):
-            def body(c, ws):
-                w, sc = ws
-                y = int4_matmul(c, w, sc)
-                return (0.1 * jnp.tanh(y[:, :cin])).astype(c.dtype), ()
-            return jax.lax.scan(body, x, (wp, sp))[0]
-        variants["int4_pallas"] = (
-            f_int4p, L * (cin * cout // 2 + ng * cout * 2))
+    if "i4_shift" in args.variants:
+        def f_shift(x, ws):
+            def body(c, w_sc):
+                w, sc = w_sc
+                return post(int4_matmul_ref(c, w, sc), cin), ()
+            return jax.lax.scan(body, x, ws)[0]
+        variants["i4_shift"] = (f_shift, (wp, sp), bytes_i4)
 
     result = {"L": L, "B": B, "cin": cin, "cout": cout,
-              "device": devs[0].platform}
-    for name, (fn, bytes_w) in variants.items():
-        def chained(n, x, f=fn):
+              "device": jax.devices()[0].platform}
+    for name, (fn, ws, bytes_w) in variants.items():
+        def chained(n, x, ws, f=fn):
             def body(s):
                 i, c = s
-                return i + 1, f(c)
+                return i + 1, f(c, ws)
             return jax.lax.while_loop(
                 lambda s: s[0] < n, body, (jnp.int32(0), x))[1]
-        run = jax.jit(chained, static_argnums=())
+        run = jax.jit(chained)
         t = time.time()
-        jax.block_until_ready(run(jnp.int32(1), x0))
+        jax.block_until_ready(run(jnp.int32(1), x0, ws))
         log(f"{name}: compile+first {time.time()-t:.1f}s")
         times = {}
         for n in (4, 24):
             best = 1e9
             for _ in range(3):
                 t = time.time()
-                jax.block_until_ready(run(jnp.int32(n), x0))
+                jax.block_until_ready(run(jnp.int32(n), x0, ws))
                 best = min(best, time.time() - t)
             times[n] = best
         ms = (times[24] - times[4]) / 20 * 1e3

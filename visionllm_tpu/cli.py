@@ -111,7 +111,10 @@ def _common(sub):
     sub.add_argument("--tiny", action="store_true")
     sub.add_argument("--quant", default="", choices=["", "int8", "w8a8", "int4"],
                      help="serving-only weight quantization of the LLM "
-                          "matmuls (ops/quant.py)")
+                          "matmuls (ops/quant.py). int8/w8a8 are the "
+                          "fast paths; int4 halves weight HBM but is "
+                          "NOT faster than int8 on v5e — see "
+                          "docs/INT4_KERNEL.md")
     sub.add_argument("--kv-quant", default="", choices=["", "int8"],
                      help="serving-only int8 KV-cache storage "
                           "(per-token/head scales, ops/quant.py)")
