@@ -56,6 +56,9 @@ def main():
     ap.add_argument("--quant", default="int8",
                     choices=["", "int8", "int4"])
     ap.add_argument("--kv-quant", default="", choices=["", "int8"])
+    ap.add_argument("--decode-span", type=int, default=1,
+                    help="slots mode: tokens per device call (amortizes "
+                         "the relay round trip; see slots.build_slot_fns)")
     ap.add_argument("--prefill-chunk", type=int, default=0,
                     help="slots mode: chunked prefill width (0 = "
                          "monolithic; exclusive with --kv-quant)")
@@ -127,7 +130,8 @@ def main():
         mode_kw = dict(max_batch=args.max_batch, batch_window_ms=30.0)
     elif args.mode == "slots":
         mode_kw = dict(slots=args.slots,
-                       prefill_chunk=args.prefill_chunk)
+                       prefill_chunk=args.prefill_chunk,
+                       decode_span=args.decode_span)
     elif args.mode == "sessions":
         mode_kw = dict(slots=args.slots, sessions=args.slots)
     elif args.mode == "spec":
@@ -395,6 +399,7 @@ def main():
         "quant": args.quant if not args.tiny else "",
         "kv_quant": args.kv_quant if not args.tiny else "",
         "prefill_chunk": args.prefill_chunk,
+        "decode_span": args.decode_span,
         "stream": use_stream,
         "mixed_prompts": args.mixed_prompts,
         "max_new_tokens": args.max_new_tokens,

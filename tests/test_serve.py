@@ -634,3 +634,63 @@ def test_spec_auto_disable_on_low_acceptance():
     # the plain loop (compiled lazily on the swap) answers identically
     b = svc.generate("what is shown here")
     assert a["text"] == b["text"]
+
+
+def test_decode_span_service_matches_plain():
+    """--decode-span 3: multi-token device ticks through the full HTTP
+    service (2D frame dispatch) — answers must equal the plain bs=1
+    service, concurrent requests included."""
+    cfg = tiny_test_config(use_gdino=False, use_unipose=False,
+                           use_sd=False, use_ip2p=False,
+                           use_region_encoder=False)
+    tok = MockTokenizer()
+    plain = ChatService(cfg, None, tok,
+                        image_size=cfg.vis_encoder.image_size,
+                        max_new_tokens=8, max_prompt=128,
+                        dtype=jnp.float32)
+    size = cfg.vis_encoder.image_size
+    img_len = (size // 14) ** 2
+    ids = jnp.asarray([[1] + [plain.tid.imp] * img_len + [5, 6]],
+                      jnp.int32)
+    plain.params = plain.core.init(
+        jax.random.PRNGKey(3), ids,
+        jnp.zeros((1, size, size, 3), jnp.float32), plain.tid)["params"]
+    cont = ChatService(cfg, plain.params, tok,
+                       image_size=cfg.vis_encoder.image_size,
+                       max_new_tokens=8, max_prompt=128, slots=2,
+                       decode_span=3, dtype=jnp.float32)
+    srv = make_server(cont, port=0, model_name="tiny-span")
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{port}"
+    try:
+        img = np.random.RandomState(5).randint(0, 255, (40, 56, 3),
+                                               np.uint8)
+        reqs = [
+            {"prompt": "first question"},
+            {"prompt": "second question about the image",
+             "image_b64": base64.b64encode(img.tobytes()).decode(),
+             "image_shape": list(img.shape)},
+            {"prompt": "third one"},
+        ]
+        want = [plain.generate(r["prompt"],
+                               img if "image_b64" in r else None)
+                for r in reqs]
+        results = [None] * len(reqs)
+
+        def fire(i):
+            results[i] = _post(url + "/v1/generate", reqs[i])
+
+        threads = [threading.Thread(target=fire, args=(i,))
+                   for i in range(len(reqs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        for i, (w, r) in enumerate(zip(want, results)):
+            assert r is not None, f"request {i} hung"
+            c, b = r
+            assert c == 200, b
+            assert b["text"] == w["text"], f"request {i} answer changed"
+    finally:
+        srv.shutdown()

@@ -298,3 +298,48 @@ def test_tp_sharded_slot_step_matches_unsharded(setup):
     for i, (got, want) in enumerate(zip(streams, solo)):
         np.testing.assert_array_equal(got[:len(want)], want,
                                       err_msg=f"request {i}")
+
+
+def test_span_step_matches_single_steps(setup):
+    """span>1 (multi-token device ticks) must emit exactly the frames
+    that span=1 produces, including a slot EOSing MID-span."""
+    model, params, prompts, images, solo = setup
+    init1, prefill, insert, step1 = build_slot_fns(
+        model, TID, n_slots=2, max_len=128)
+    init4, _, insert4, step4 = build_slot_fns(
+        model, TID, n_slots=2, max_len=128, span=4)
+
+    def admit(insert_fn, state, slot_valid, slot, i):
+        ids, mask = _pad(prompts[i])
+        pre = prefill(params, ids, jnp.asarray(images[i:i + 1]), mask)
+        state, slot_valid = insert_fn(
+            state, jnp.asarray(slot), pre["first"], pre["embed"],
+            pre["cache"], pre["valid"], slot_valid)
+        return state, slot_valid, int(pre["first"])
+
+    s1, v1 = init1()
+    s4, v4 = init4()
+    firsts = {}
+    for slot, i in ((0, 0), (1, 1)):
+        s1, v1, f = admit(insert, s1, v1, slot, i)
+        s4, v4, firsts[slot] = admit(insert4, s4, v4, slot, i)
+        assert f == firsts[slot]
+
+    frames1 = []
+    for _ in range(8):
+        out = step1(params, s1, v1)
+        s1 = out["state"]
+        frames1.append((np.asarray(out["token"]),
+                        np.asarray(out["finished"])))
+    toks4, fins4 = [], []
+    for _ in range(2):
+        out = step4(params, s4, v4)
+        s4 = out["state"]
+        toks4.append(np.asarray(out["token"]))
+        fins4.append(np.asarray(out["finished"]))
+    toks4 = np.concatenate(toks4, axis=0)       # [8, S]
+    fins4 = np.concatenate(fins4, axis=0)
+    assert toks4.shape == (8, 2)
+    for t, (tok1, fin1) in enumerate(frames1):
+        np.testing.assert_array_equal(toks4[t], tok1, err_msg=f"t={t}")
+        np.testing.assert_array_equal(fins4[t], fin1, err_msg=f"t={t}")

@@ -105,7 +105,8 @@ class ChatService:
                  max_new_tokens: int = 256, max_prompt: int = 1024,
                  max_batch: int = 1, batch_window_ms: float = 4.0,
                  spec_k: int = 0, slots: int = 0,
-                 prefill_chunk: int = 0, sampling: bool = False,
+                 prefill_chunk: int = 0, decode_span: int = 1,
+                 sampling: bool = False,
                  max_queue: int = 256, sessions: int = 0,
                  session_chunk: int = 64,
                  max_ctx: Optional[int] = None,
@@ -194,7 +195,7 @@ class ChatService:
              self._slot_step) = build_slot_fns(
                 self.core, self.tid, n_slots=slots,
                 max_len=slot_max_len, eos_id=self.eos_id,
-                sampling=sampling)
+                sampling=sampling, span=max(1, decode_span))
             if prefill_chunk > 0:
                 (self._chunk_row, self._chunk_embed, self._chunk_run,
                  self._chunk_finish) = build_chunked_prefill_fns(
@@ -842,22 +843,26 @@ class ChatService:
         toks = np.asarray(out["token"])
         fins = np.asarray(out["finished"])
         lps = np.asarray(out["logprob"])
-        for slot in list(active):
-            r, stream, lstream, fill0 = active[slot]
-            tok = int(toks[slot])
-            stream.append(tok)
-            lstream.append(float(lps[slot]))
-            if r.stream_q is not None:
-                r.stream_q.put(tok)
-            if fins[slot] or len(stream) >= self.max_new_tokens:
-                r.tokens = np.asarray(stream, np.int32)
-                r.logprobs = np.asarray(lstream, np.float32)
-                del active[slot]
-                state = self._park(r, slot, stream, bool(fins[slot]),
-                                   state, fill0)
+        if toks.ndim == 1:                  # span=1 step: one frame
+            toks, fins, lps = toks[None], fins[None], lps[None]
+        for t in range(toks.shape[0]):      # frames in decode order
+            for slot in list(active):
+                r, stream, lstream, fill0 = active[slot]
+                tok = int(toks[t, slot])
+                stream.append(tok)
+                lstream.append(float(lps[t, slot]))
                 if r.stream_q is not None:
-                    r.stream_q.put(None)
-                r.event.set()
+                    r.stream_q.put(tok)
+                if fins[t, slot] or len(stream) >= self.max_new_tokens:
+                    r.tokens = np.asarray(stream, np.int32)
+                    r.logprobs = np.asarray(lstream, np.float32)
+                    del active[slot]
+                    state = self._park(r, slot, stream,
+                                       bool(fins[t, slot]),
+                                       state, fill0)
+                    if r.stream_q is not None:
+                        r.stream_q.put(None)
+                    r.event.set()
         return state
 
     # ---- batching dispatcher (single thread owns the TPU) ----

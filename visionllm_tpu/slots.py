@@ -74,10 +74,22 @@ def build_slot_fns(
     max_len: int = 4096,
     eos_id: int = 2,
     sampling: bool = False,
+    span: int = 1,
 ):
     """Returns (init_state, prefill, insert, step) — all jitted except
     init_state. `step` emits one token per slot per call; the host
     reads them, detects per-slot EOS/length stop, and frees slots.
+
+    ``span > 1`` returns a MULTI-token step: a `lax.scan` of `span`
+    single-token ticks inside one device program, emitting stacked
+    `token`/`logprob`/`finished` of shape [span, S]. One host↔device
+    round trip then costs `span` tokens instead of one — on a relay
+    link with O(10 ms) RTT this is the difference between ~50 and
+    ~150+ aggregate tok/s (bench_serve --decode-span). Per-slot EOS is
+    exact (a slot that ends mid-span stops advancing via `live`);
+    the tradeoffs are admission/stream latency quantized to `span`
+    tokens and up to `span-1` discarded tokens past a host-side
+    length stop.
 
     ``sampling=True`` compiles per-slot temperature/top-p sampling
     (generation.sample_token): each slot carries its own settings
@@ -285,9 +297,23 @@ def build_slot_fns(
                     0.0),
                 "finished": live & ended}
 
+    if span > 1:
+        def step_span(params, state: SlotState, slot_valid: jnp.ndarray
+                      ) -> Dict[str, Any]:
+            def body(st, _):
+                out = step(params, st, slot_valid)
+                return out["state"], (out["token"], out["logprob"],
+                                      out["finished"])
+            new_state, (toks, lps, fins) = jax.lax.scan(
+                body, state, None, length=span)
+            return {"state": new_state, "token": toks,
+                    "logprob": lps, "finished": fins}
+        step_fn = jax.jit(step_span, donate_argnums=(1,))
+    else:
+        step_fn = jax.jit(step, donate_argnums=(1,))
+
     return (init_state, jax.jit(prefill),
-            jax.jit(insert, donate_argnums=(0, 6)),
-            jax.jit(step, donate_argnums=(1,)))
+            jax.jit(insert, donate_argnums=(0, 6)), step_fn)
 
 
 def _llm_window(model: VisionLLM, params, emb_chunk: jnp.ndarray,
