@@ -133,7 +133,8 @@ def main():
                        prefill_chunk=args.prefill_chunk,
                        decode_span=args.decode_span)
     elif args.mode == "sessions":
-        mode_kw = dict(slots=args.slots, sessions=args.slots)
+        mode_kw = dict(slots=args.slots, sessions=args.slots,
+                       decode_span=args.decode_span)
     elif args.mode == "spec":
         mode_kw = dict(spec_k=args.spec_k)
     dtype = jnp.float32 if args.tiny else jnp.bfloat16
@@ -182,8 +183,12 @@ def main():
         req = urllib.request.Request(
             url, json.dumps(body).encode(),
             headers={"Content-Type": "application/json"})
-        with urllib.request.urlopen(req, timeout=timeout) as r:
-            return json.loads(r.read())
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as r:
+                return json.loads(r.read())
+        except urllib.error.HTTPError as e:   # surface the server error
+            raise RuntimeError(
+                f"HTTP {e.code}: {e.read()[:500]!r}") from None
 
     prompts = [
         "what is shown in the image",
@@ -245,7 +250,13 @@ def main():
                         with lk:
                             rows.append((ti, dt,
                                          bool(out.get("session_reused"))))
-                        hist = hist + [body["prompt"], out["text"]]
+                        # rebuild the answer from raw ids ("tN" words
+                        # round-trip through RoundTripTokenizer for ANY
+                        # id) — random-init weights can emit ids whose
+                        # text decode drops them, which would break the
+                        # cached-prefix match this mode measures
+                        ans = " ".join(f"t{t}" for t in out["ids"])
+                        hist = hist + [body["prompt"], ans]
 
             ths = [threading.Thread(target=sworker)
                    for _ in range(min(args.concurrency, n_sess))]
@@ -280,6 +291,14 @@ def main():
             "turn_latency_p50_full_s": p50(full_lat),
             "wall_reuse_s": round(reuse_wall, 2),
             "wall_full_s": round(full_wall, 2),
+            # device-side admission cost per turn>=2: a full re-prefill
+            # runs the whole padded prompt (image tokens + history)
+            # through the LLM; a session hit runs one session_chunk
+            # extend window. On the relay-attached chip both are small
+            # vs per-turn scheduling overhead, so the wall-clock
+            # speedup understates the on-device saving.
+            "admission_tokens_full_prefill": args.max_prompt,
+            "admission_tokens_session_extend": 64,
             "max_new_tokens": args.max_new_tokens,
             "quant": args.quant if not args.tiny else "",
             "device": jax.devices()[0].platform,
@@ -288,6 +307,7 @@ def main():
         with open("bench_serve.json", "w") as f:
             json.dump(result, f)
         srv.shutdown()
+        svc.close()
         return
 
     use_stream = args.stream and args.mode in ("slots",)
@@ -412,6 +432,7 @@ def main():
     with open("bench_serve.json", "w") as f:
         json.dump(result, f)
     srv.shutdown()
+    svc.close()
 
 
 if __name__ == "__main__":

@@ -254,6 +254,18 @@ class ChatService:
         self._dispatcher = threading.Thread(target=loop, daemon=True)
         self._dispatcher.start()
 
+    def close(self):
+        """Stop the dispatcher thread and drop its references so the
+        param/KV arrays can be freed (long-lived hosts reloading a
+        model would otherwise leak the full device tree — the thread
+        blocks on the queue forever holding `self`)."""
+        try:
+            self._queue.put_nowait(None)
+        except queue.Full:
+            self._queue.put(None)
+        self._dispatcher.join(timeout=30)
+        self.params = None
+
     # spec auto-disable thresholds: a verify window costs ~1.03x a plain
     # decode step (bench.py spec_window_cost_vs_step), so spec breaks
     # even at ~1.03 accepted tokens/window; require a 10% margin over a
@@ -467,6 +479,7 @@ class ChatService:
         self.stats["tokens_generated_total"] += int(len(tokens))
         self.stats["latency_sum_s"] += latency
         out = {"text": text.strip(), "num_tokens": int(len(tokens)),
+               "ids": [int(t) for t in tokens],
                "latency_s": round(latency, 4)}
         if logprobs:
             lp = req.logprobs[:len(tokens)]
@@ -683,10 +696,16 @@ class ChatService:
         while True:
             # block only when fully idle
             if not active and not backlog:
-                backlog.append(self._queue.get())
+                nxt = self._queue.get()
+                if nxt is None:             # close() sentinel
+                    return
+                backlog.append(nxt)
             while True:
                 try:
-                    backlog.append(self._queue.get_nowait())
+                    nxt = self._queue.get_nowait()
+                    if nxt is None:
+                        return
+                    backlog.append(nxt)
                 except queue.Empty:
                     break
             try:
@@ -869,7 +888,10 @@ class ChatService:
 
     def _dispatch_loop(self):
         while True:
-            batch = [self._queue.get()]
+            first = self._queue.get()
+            if first is None:               # close() sentinel
+                return
+            batch = [first]
             if self.max_batch > 1:
                 deadline = time.perf_counter() + self.batch_window_s
                 while len(batch) < self.max_batch:
@@ -877,7 +899,11 @@ class ChatService:
                     if left <= 0:
                         break
                     try:
-                        batch.append(self._queue.get(timeout=left))
+                        nxt = self._queue.get(timeout=left)
+                        if nxt is None:     # close() during traffic:
+                            self._queue.put(None)   # re-arm, finish batch
+                            break
+                        batch.append(nxt)
                     except queue.Empty:
                         break
             try:
