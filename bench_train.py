@@ -282,10 +282,30 @@ def _run(args, result, out_path):
                         and "embed_tokens" not in p, B * L)
     f_bridge = dense_flops(lambda p: p.startswith("core/vl_bridge"),
                            B * img_len)
-    flops = 1 * f_vis + 2 * f_llm + 3 * f_bridge
-    result["flop_model"] = ("fwd-only frozen ViT (1x), fwd+dX frozen "
-                            "LLM (2x), fwd+dX+dW trainable bridge (3x); "
-                            "gdino/Swin excluded")
+    # det-branch terms (previously excluded entirely, which understated
+    # the bound by the whole tool): Swin consumes raw pixels with
+    # nothing trainable upstream -> fwd only (published Swin-T cost,
+    # rounded DOWN to 4.0 GFLOP @224^2, scaled by area); the gdino
+    # encoder carries text-query gradients back to the bridge -> fwd+dX
+    # (2x). Encoder per layer counts only the dominant dense matmuls —
+    # deformable value+output projs (4*S*d^2), the fusion layer's
+    # vision-side projections (4*S*d^2), and the FFN (4*S*d*dffn) —
+    # omitting decoder, text stack, sampling-offset heads and the
+    # gather itself, so the total stays a strict undercount.
+    gd = cfg.gdino
+    s0 = args.det_size // 8
+    S_det = sum((s0 >> i) ** 2 for i in range(gd.num_feature_levels))
+    d, dffn = gd.d_model, gd.ffn_dim
+    f_gdino_enc = gd.encoder_layers * (
+        8 * S_det * d * d + 4 * S_det * d * dffn)
+    f_swin = 4.0e9 * (args.det_size / 224.0) ** 2
+    flops = (1 * f_vis + 2 * f_llm + 3 * f_bridge
+             + B * (1 * f_swin + 2 * f_gdino_enc))
+    result["flop_model"] = ("fwd-only frozen ViT + Swin (1x), fwd+dX "
+                            "frozen LLM + gdino encoder (2x), "
+                            "fwd+dX+dW trainable bridge (3x); gdino "
+                            "decoder/text-stack/gathers still excluded "
+                            "(strict undercount)")
     peak = 197e12 if result["device"] == "tpu" else float("inf")
     result["mfu_train_lower_bound"] = round(flops / step_s / peak, 4)
 

@@ -44,6 +44,13 @@ VOCAB = 92544 + 26          # internlm2 vocab + the 26 added tokens
 IMG, PATCH = 448, 14
 
 
+def _tree_shapes(tree):
+    """path -> shape for every leaf (works on arrays and ShapeDtypeStructs)."""
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return {"/".join(str(getattr(p, "key", p)) for p in path):
+            tuple(leaf.shape) for path, leaf in flat}
+
+
 def _my_config():
     from visionllm_tpu.config import (LLMConfig, VisionEncoderConfig,
                                       VisionLLMConfig)

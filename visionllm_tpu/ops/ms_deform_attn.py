@@ -382,8 +382,6 @@ def ms_deform_attn_quad(
 
     gidx = jnp.stack(gidx_l, axis=2)                      # [B,H,L,P,Q]
     wcell = jnp.stack(wcell_l, axis=2)                    # [B,H,L,P,Q,4]
-    head_off = jnp.arange(H, dtype=jnp.int32) * S         # [H]
-    gidx = gidx + head_off[None, :, None, None, None]
 
     # Weighted reduction as elementwise multiply + axis sums, NOT an
     # einsum: a dot_general over the (LP, corner) contraction forces XLA
@@ -410,27 +408,35 @@ def ms_deform_attn_quad(
     # AND re-read by the consumer — measured 11.7 → 9.3 ms/layer at
     # 800px, bit-identical output since the convert still runs in f32
     # registers inside the fused multiply-reduce).
-    # Gather per IMAGE (static python loop over B), NOT from one flat
+    # Gather per (IMAGE, HEAD) — a static python loop, NOT one flat
     # [B·H·S, 4D] table: TPU row-gather throughput degrades once the
-    # table outgrows the bs1 working set (measured at the 512px encoder
+    # table outgrows a small working set (measured at the 512px encoder
     # shape, bs4: flat-table 18.9 ms vs per-image 10.4 ms — 1.80x vs
-    # 1.04x per-image scaling; tools/profile_msda_parts.py). Each
-    # image's table is the bs1 size (H·S rows), so batching stays
-    # linear; at B=1 this is identical to the flat form.
-    quad_b = quad.reshape(B, H * S, 4 * D)
-    N_l = H * P * Q
+    # 1.04x per-image scaling; tools/profile_msda_parts.py). The same
+    # cliff hits the BACKWARD even harder: autodiff mirrors each take
+    # with a scatter-add into a table of the same size, and scatter into
+    # a [H·S, 4D] table measured 3.97 ms vs 0.75 ms per-head (5.3x,
+    # /tmp job 170 → docs/BATCH_SCALING.md lineage). Per-head tables
+    # ([S, 4D], ~2 MB at 640 px) keep both directions on the fast path;
+    # the train step's dominant term (gdino_bwd, the msda grad_v
+    # scatters) is what this layout exists for.
+    quad_bh = quad.reshape(B, H, S, 4 * D)
+    N_l = P * Q
     outs = []
     for b in range(B):
-        out_b = jnp.zeros((H, Q, D), jnp.float32)
-        for lvl in range(L):
-            rows = jnp.take(quad_b[b], gidx[b, :, lvl].reshape(-1),
-                            axis=0)
-            rows = jax.lax.optimization_barrier(rows)
-            w_l = wcell[b, :, lvl].reshape(N_l, 4, 1)
-            out_l = (rows.reshape(N_l, 4, D).astype(jnp.float32)
-                     * w_l).sum(1)
-            out_b = out_b + out_l.reshape(H, P, Q, D).sum(1)  # p reduce
-        outs.append(out_b)
+        heads = []
+        for h in range(H):
+            out_h = jnp.zeros((Q, D), jnp.float32)
+            for lvl in range(L):
+                rows = jnp.take(quad_bh[b, h],
+                                gidx[b, h, lvl].reshape(-1), axis=0)
+                rows = jax.lax.optimization_barrier(rows)
+                w_l = wcell[b, h, lvl].reshape(N_l, 4, 1)
+                out_l = (rows.reshape(N_l, 4, D).astype(jnp.float32)
+                         * w_l).sum(1)
+                out_h = out_h + out_l.reshape(P, Q, D).sum(0)
+            heads.append(out_h)
+        outs.append(jnp.stack(heads, axis=0))             # [H, Q, D]
     out = jnp.stack(outs, axis=0)                         # [B,H,Q,D]
     return out.transpose(0, 2, 1, 3).reshape(B, Q, H * D).astype(value.dtype)
 
