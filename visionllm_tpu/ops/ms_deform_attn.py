@@ -420,22 +420,32 @@ def ms_deform_attn_quad(
     # ([S, 4D], ~2 MB at 640 px) keep both directions on the fast path;
     # the train step's dominant term (gdino_bwd, the msda grad_v
     # scatters) is what this layout exists for.
+    # The (b, h) chains are serialized by a barrier tie from each
+    # head's table read to the previous head's output: without it the
+    # scheduler overlaps all B·H chains and keeps every head's gathered
+    # rows + f32 partials live at once (+584 MB at bs1/512px — enough
+    # to OOM the e2e program next to the 13.5 GB tree).
     quad_bh = quad.reshape(B, H, S, 4 * D)
     N_l = P * Q
+    prev = None
     outs = []
     for b in range(B):
         heads = []
         for h in range(H):
+            tbl = quad_bh[b, h]
+            if prev is not None:
+                tbl, prev = jax.lax.optimization_barrier((tbl, prev))
             out_h = jnp.zeros((Q, D), jnp.float32)
             for lvl in range(L):
-                rows = jnp.take(quad_bh[b, h],
-                                gidx[b, h, lvl].reshape(-1), axis=0)
+                rows = jnp.take(tbl, gidx[b, h, lvl].reshape(-1),
+                                axis=0)
                 rows = jax.lax.optimization_barrier(rows)
                 w_l = wcell[b, h, lvl].reshape(N_l, 4, 1)
                 out_l = (rows.reshape(N_l, 4, D).astype(jnp.float32)
                          * w_l).sum(1)
                 out_h = out_h + out_l.reshape(P, Q, D).sum(0)
             heads.append(out_h)
+            prev = out_h
         outs.append(jnp.stack(heads, axis=0))             # [H, Q, D]
     out = jnp.stack(outs, axis=0)                         # [B,H,Q,D]
     return out.transpose(0, 2, 1, 3).reshape(B, Q, H * D).astype(value.dtype)
